@@ -1,0 +1,217 @@
+"""Deterministic synthetic pages corpus.
+
+The reference tests against three real corpora — a clean book page, a dense
+newspaper page, and a table-heavy report
+(/root/reference/test/conftest.py:45-55).  We mirror that with nine HTML
+templates (FIXTURES.md section 1), synthesized deterministically from the
+driver's read-only ``documents`` parquet (doc_id, text, lang, source,
+n_chars) into the BASELINE.json ``input_hint`` shape::
+
+    pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+
+The same pure function :func:`build_page` runs inside a Spark
+``mapInPandas`` batch (distributed synthesis) and in plain Python (oracle
+tests), so both sides see byte-identical payloads.  Hosts are Zipf-skewed —
+one host carries ~30% of all pages — to exercise salted repartitioning.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+from typing import Iterator
+
+import pandas as pd
+
+_EPOCH = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+
+_ARABIC = ["كتاب", "نص", "صفحة", "كلمة", "سطر", "فقرة", "بحث", "مقال"]
+
+TEMPLATES = [
+    "article",
+    "newspaper",
+    "tabular",
+    "sparse",
+    "rtl",
+    "joined",
+    "boilerplate",
+    "malformed",
+    "empty",
+]
+
+_NAV = (
+    '<nav><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a> <a href="/login">Login</a></nav>'
+)
+_FOOTER = (
+    '<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> '
+    "<p>copyright 2026 example</p></footer>"
+)
+_HEAD = (
+    "<head><title>t</title><style>body{color:#000}</style>"
+    "<script>var x=1;</script></head>"
+)
+
+
+def template_for(doc_id: int) -> str:
+    return TEMPLATES[doc_id % len(TEMPLATES)]
+
+
+def host_for(doc_id: int) -> str:
+    """Zipf-ish skew: ~30% of docs on one big host (FIXTURES.md section 1)."""
+    if doc_id % 10 < 3:
+        return "big.example.com"
+    return "host%d.example.org" % (doc_id % 7)
+
+
+def url_for(doc_id: int, lang: str) -> str:
+    return "https://%s/%s/%08d" % (host_for(doc_id), lang, doc_id)
+
+
+def _chunk(words: list, rng: random.Random, lo: int = 8, hi: int = 20):
+    i = 0
+    while i < len(words):
+        n = rng.randint(lo, hi)
+        yield words[i : i + n]
+        i += n
+
+
+def _para(ws: list) -> str:
+    return "<p>" + " ".join(ws) + "</p>"
+
+
+def build_html(doc_id: int, text: str, lang: str) -> bytes:
+    """doc_id + source words -> deterministic HTML payload (utf-8 bytes,
+    except the 'malformed' template which appends invalid bytes)."""
+    rng = random.Random(doc_id)
+    words = text.split()
+    if not words:
+        words = ["empty"]
+    tpl = template_for(doc_id)
+    title = " ".join(words[:3])
+    body: list[str] = []
+
+    if tpl == "article":
+        body.append(_NAV)
+        body.append("<h1>%s</h1>" % title)
+        for ws in _chunk(words[3:], rng):
+            # inline style markers (fontshape analogue, fontshape.py:125-140)
+            if len(ws) > 4 and rng.random() < 0.5:
+                k = rng.randrange(1, len(ws) - 1)
+                tag = rng.choice(["b", "i", "code"])
+                ws = ws[:k] + ["<%s>%s</%s>" % (tag, ws[k], tag)] + ws[k + 1 :]
+            body.append(_para(ws))
+        body.append(_FOOTER)
+    elif tpl == "newspaper":
+        body.append("<h1>%s</h1>" % title)
+        parts = list(_chunk(words[3:], rng, 2, 12))
+        for j, ws in enumerate(parts):
+            if j == 1:
+                body.append("<hr>")
+            if j == 2 and len(parts) > 3:
+                body.append("<blockquote>%s</blockquote>" % " ".join(ws))
+                continue
+            if j == 3:
+                body.append("<figcaption>%s</figcaption>" % " ".join(ws[:4]))
+                continue
+            body.append(_para(ws))  # some below min-size -> F1 filter
+    elif tpl == "tabular":
+        body.append("<h1>%s</h1>" % title)
+        body.append("<table>")
+        for row_ws in _chunk(words[3:], rng, 6, 12):
+            half = max(1, len(row_ws) // 2)
+            cell2 = " ".join(row_ws[half:]) or "x"
+            body.append(
+                "<tr><td>%s</td><td><p>%s</p></td></tr>"
+                % (" ".join(row_ws[:half]), cell2)
+            )
+        body.append("</table>")
+    elif tpl == "sparse":
+        # bare body text with <br> line breaks (sparse_text analogue)
+        segs = [" ".join(ws) for ws in _chunk(words, rng, 3, 8)]
+        body.append("<br>".join(segs))
+    elif tpl == "rtl":
+        lang = "ar"
+        for ws in _chunk(words, rng, 5, 10):
+            mixed = [_ARABIC[(doc_id + i) % len(_ARABIC)] for i in range(3)] + ws[:4]
+            body.append('<p dir="rtl">%s</p>' % " ".join(mixed))
+    elif tpl == "joined":
+        chunks = list(_chunk(words, rng))
+        for j, ws in enumerate(chunks):
+            if j % 2 == 1:
+                body.append('<p data-join="1">%s</p>' % " ".join(ws))
+            else:
+                txt = " ".join(ws)
+                if j + 1 < len(chunks):
+                    txt += "continu-"  # hyphenated continuation
+                body.append(_para([txt]))
+    elif tpl == "boilerplate":
+        body.append(_NAV)
+        body.append(
+            "<aside>" + " ".join('<a href="/%d">ad %d</a>' % (i, i) for i in range(8))
+            + "</aside>"
+        )
+        body.append(_para(words))
+        body.append(
+            '<p><a href="/x">read</a> <a href="/y">more</a> '
+            '<a href="/z">links</a> <a href="/w">here</a></p>'
+        )
+        body.append(_FOOTER)
+    elif tpl == "malformed":
+        body.append("<h1>%s</h1><p>%s" % (title, " ".join(words[:10])))
+        html = "<html>%s<body>%s" % (_HEAD, "".join(body))
+        return html.encode("utf-8") + b"\xff\xfe\x80\x81"
+    elif tpl == "empty":
+        body.append("   \n\t  ")
+
+    html = "<html>%s<body>%s</body></html>" % (_HEAD, "".join(body))
+    return html.encode("utf-8")
+
+
+def build_page(doc_id: int, text: str, lang: str) -> dict:
+    tpl = template_for(doc_id)
+    eff_lang = "ar" if tpl == "rtl" else lang
+    return {
+        "url": url_for(doc_id, eff_lang),
+        "warc_ts": _EPOCH + _dt.timedelta(seconds=int(doc_id)),
+        "html": build_html(doc_id, text, lang),
+        "text": None,  # recomputed by the pipeline
+        "lang": eff_lang,
+    }
+
+
+def pages_from_documents_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """pandas batch: documents(doc_id,text,lang,...) -> pages rows."""
+    rows = [
+        build_page(int(d), t if isinstance(t, str) else "", l or "en")
+        for d, t, l in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+    ]
+    return pd.DataFrame(
+        rows, columns=["url", "warc_ts", "html", "text", "lang"]
+    )
+
+
+def synth_pages_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas entry: distributed deterministic synthesis."""
+    for pdf in it:
+        yield pages_from_documents_pdf(pdf)
+
+
+def pages_df(spark, sf_dir: str):
+    """documents parquet -> pages DataFrame (Arrow-batched, no per-row
+    Python at the Spark surface)."""
+    from .schemas import PAGES_SCHEMA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    return docs.mapInPandas(synth_pages_batches, schema=PAGES_SCHEMA)
+
+
+def pages_records(sf_dir: str) -> list:
+    """Pure-Python variant for oracle tests: same rows, no Spark."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    pdf = t.to_pandas()
+    return pages_from_documents_pdf(pdf).to_dict("records")

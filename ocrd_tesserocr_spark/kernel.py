@@ -1,0 +1,117 @@
+"""Arrow-batched extraction kernel for ``mapInPandas``.
+
+The reference holds its entire recognition loop inside one C++ call per
+segment (``Recognize()``, /root/reference/ocrd_tesserocr/recognize.py:486);
+our contract holds it inside Arrow batches: the JVM hands us columnar
+batches, we run the per-document kernel over each batch, and hand columnar
+results back.  No per-row Python exists at the Spark API surface — the only
+rows ever materialized live inside a batch, exactly like the reference's
+per-page C++ kernel inside its page loop.
+
+Model-load amortization (recognize.py:143,200-203 does one InitFull reused
+across pages) maps to module-level state reused across batches by the
+long-lived Python worker processes Spark keeps per executor.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from .oracle import DEFAULT_PARAMS, ExtractParams, extract_document
+
+_COLUMNS = [
+    "url",
+    "text",
+    "conf",
+    "blocks",
+    "features",
+    "failed",
+    "partition_id",
+]
+
+
+def _partition_id() -> int:
+    try:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        return ctx.partitionId() if ctx is not None else -1
+    except Exception:
+        return -1
+
+
+def extract_batches(
+    it: Iterator[pd.DataFrame], params: ExtractParams = DEFAULT_PARAMS
+) -> Iterator[pd.DataFrame]:
+    """pages batches -> extracted batches (EXTRACTED_SCHEMA).
+
+    One output row per input row; malformed payloads become failure rows
+    (failed=True), never exceptions — failure accounting feeds lineage.
+    """
+    pid = _partition_id()
+    for pdf in it:
+        out = {c: [] for c in _COLUMNS}
+        htmls = pdf["html"].tolist()
+        urls = pdf["url"].tolist()
+        for url, html in zip(urls, htmls):
+            rec = extract_document(html, params)
+            out["url"].append(url)
+            out["text"].append(rec["text"])
+            out["conf"].append(rec["conf"])
+            out["blocks"].append(
+                [_block_tuple(b) for b in rec["blocks"]]
+            )
+            out["features"].append(rec["features"])
+            out["failed"].append(rec["failed"])
+            out["partition_id"].append(pid)
+        yield pd.DataFrame(out, columns=_COLUMNS)
+
+
+def _block_tuple(b: dict) -> tuple:
+    """dict -> positional tuple matching BLOCK_STRUCT field order (Arrow
+    struct conversion from pandas is positional-safe with tuples)."""
+    return (
+        b["block_id"],
+        b["kind"],
+        b["order_idx"],
+        b["char_start"],
+        b["char_end"],
+        b["text"],
+        b["conf"],
+        b["text_density"],
+        b["link_density"],
+        b["is_main"],
+        [
+            (
+                ln["line_id"],
+                ln["char_start"],
+                ln["char_end"],
+                ln["text"],
+                ln["conf"],
+                [
+                    (
+                        w["word_id"],
+                        w["char_start"],
+                        w["char_end"],
+                        w["text"],
+                        w["conf"],
+                    )
+                    for w in ln["words"]
+                ],
+            )
+            for ln in b["lines"]
+        ],
+    )
+
+
+def make_extract_fn(params: ExtractParams):
+    """Bind params into a mapInPandas function (facade pattern: the
+    reference's processor subclasses are parameter presets over one core,
+    /root/reference/ocrd_tesserocr/segment.py:17-24)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return extract_batches(it, params)
+
+    return fn

@@ -1,0 +1,485 @@
+"""Single-document reference extractor — the byte-identical truth.
+
+This module is pure Python (stdlib only, no Spark).  It defines the
+extraction semantics exactly once; the Arrow batch kernel (kernel.py) and the
+tests both import it, so every whitespace/ordering/id decision has a single
+source of truth (SURVEY.md section 7.3.1).
+
+Semantics transplanted from the reference:
+
+  * hierarchy page -> block -> line -> word
+      (/root/reference/ocrd_tesserocr/recognize.py:527-856)
+  * block kinds = the 13-way region-type switch collapsed to web kinds
+      (recognize.py:585-674): paragraph/heading/caption/floating/table/
+      separator/image/noise
+  * bottom-up concatenation: words ' ', lines '\\n', blocks '\\n' unless a
+    join relation suppresses the separator
+      (/root/reference/ocrd_tesserocr/common.py:68-180, join relations
+       common.py:90-99,166-175)
+  * RTL reading direction reverses word traversal
+      (common.py:138-151)
+  * trailing '\\n'/'\\f' stripped from every recognized text
+      (recognize.py:636)
+  * id formats block%04d / _line%04d / _word%04d
+      (recognize.py:604,769,804)
+  * degenerate filters: empty blocks dropped (recognize.py:598-601),
+    too-small text blocks demoted (recognize.py:584-597)
+  * confidences are arithmetic means of children at every level
+      (common.py:127-128, recognize.py:637)
+  * lazy recognition: non-main blocks stay segment-only (no lines/spans),
+    the analogue of textequiv_level='none' (recognize.py:411,481-486)
+  * script/style/comment stripping = the binarization "non-text mask"
+      (/root/reference/ocrd_tesserocr/binarize.py:106-110)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# --------------------------------------------------------------------------
+# parameters (analogue of the ocrd-tool.json parameter surface)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ExtractParams:
+    """Extraction parameters; defaults mirror ocrd-tool.json defaults."""
+
+    #: minimum characters for a paragraph-kind block to count as main content
+    #: (too-small region filter, recognize.py:584-597)
+    min_paragraph_chars: int = 16
+    #: maximum link density for a block to count as main content
+    max_link_density: float = 0.45
+    #: main-eligible kinds (TextRegion-typed, recognize.py:585-674)
+    main_kinds: frozenset = frozenset(
+        {"paragraph", "heading", "caption", "floating", "table"}
+    )
+    #: segment-only mode: skip recognition (textequiv_level='none',
+    #: recognize.py:411) — blocks get no lines/spans and doc text is None
+    segment_only: bool = False
+    #: stage-lineage tags recorded on every row (AlternativeImage @comments
+    #: analogue, recognize.py:489-491)
+    features: tuple = ("cleaned", "segmented", "recognized")
+
+
+DEFAULT_PARAMS = ExtractParams()
+
+# tag -> block kind (region-type switch, recognize.py:585-674)
+_BLOCK_KIND = {
+    "p": "paragraph",
+    "li": "paragraph",
+    "pre": "paragraph",
+    "dd": "paragraph",
+    "dt": "paragraph",
+    "h1": "heading",
+    "h2": "heading",
+    "h3": "heading",
+    "h4": "heading",
+    "h5": "heading",
+    "h6": "heading",
+    "figcaption": "caption",
+    "caption": "caption",
+    "blockquote": "floating",
+    "td": "table",
+    "th": "table",
+}
+# void block tags that carry no text
+_VOID_KIND = {"hr": "separator", "img": "image"}
+# content inside these is masked out entirely (binarize.py:106-110 analogue)
+_SKIP_CONTENT = {"script", "style", "template", "noscript", "title"}
+# boilerplate containers: descendants are noise (NoiseRegion analogue)
+_BOILERPLATE = {"nav", "header", "footer", "aside"}
+
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_ALNUM_RE = re.compile(r"[0-9A-Za-z\u00c0-\u024f\u0590-\u06ff\u4e00-\u9fff]")
+
+
+def word_conf(word: str) -> float:
+    """Deterministic per-word confidence in [0.5, 1.0].
+
+    Plays the role of Tesseract's per-choice Confidence()/100
+    (/root/reference/ocrd_tesserocr/recognize.py:638); defined as
+    1 - 0.5 * (non-alphanumeric fraction), rounded to 4 decimals.
+    """
+    if not word:
+        return 0.5
+    alnum = len(_ALNUM_RE.findall(word))
+    return round(1.0 - 0.5 * ((len(word) - alnum) / len(word)), 4)
+
+
+@dataclass
+class _RawBlock:
+    kind: str
+    rtl: bool = False
+    join: bool = False
+    boiler: bool = False
+    parts: list = field(default_factory=list)  # (text, in_link)
+    tag_count: int = 0
+
+
+class _BlockParser(HTMLParser):
+    """Streaming DOM tokenizer -> flat list of raw blocks in document order.
+
+    The analogue of Tesseract's single-pass layout analysis: one walk over
+    the token stream yields every block with its classification inputs
+    (recognize.py:486-492 runs all hierarchy levels off one iterator).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_RawBlock] = []
+        self._stack: list[_RawBlock] = []  # open block elements
+        self._open_tags: list[str] = []  # open block tag names
+        self._skip_depth = 0
+        self._link_depth = 0
+        self._boiler_depth = 0
+        self._dir_stack: list[bool] = []  # rtl flags from dir= attrs
+        self._dir_tags: list[str] = []
+
+    # -- helpers ----------------------------------------------------------
+    def _rtl(self) -> bool:
+        return self._dir_stack[-1] if self._dir_stack else False
+
+    def _open_block(self, kind: str, attrs: dict) -> None:
+        blk = _RawBlock(
+            kind="noise" if self._boiler_depth > 0 else kind,
+            rtl=self._rtl() or attrs.get("dir", "").lower() == "rtl",
+            join="data-join" in attrs,
+            boiler=self._boiler_depth > 0,
+        )
+        if attrs.get("dir", "").lower() == "ltr":
+            blk.rtl = False
+        self.blocks.append(blk)
+        self._stack.append(blk)
+
+    def _top(self) -> _RawBlock | None:
+        return self._stack[-1] if self._stack else None
+
+    def _implicit(self) -> _RawBlock:
+        """Bare text outside any block opens an implicit paragraph
+        (sparse_text mode analogue, recognize.py:736-750)."""
+        blk = _RawBlock(
+            kind="noise" if self._boiler_depth > 0 else "paragraph",
+            rtl=self._rtl(),
+            boiler=self._boiler_depth > 0,
+        )
+        self.blocks.append(blk)
+        self._stack.append(blk)
+        self._open_tags.append("#implicit")
+        return blk
+
+    def _close_implicit(self) -> None:
+        if self._open_tags and self._open_tags[-1] == "#implicit":
+            self._open_tags.pop()
+            self._stack.pop()
+
+    # -- HTMLParser hooks --------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        if tag in _SKIP_CONTENT:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        d = a.get("dir", "").lower()
+        if d in ("rtl", "ltr"):
+            self._dir_stack.append(d == "rtl")
+            self._dir_tags.append(tag)
+        if tag in _BOILERPLATE:
+            self._boiler_depth += 1
+            self._close_implicit()
+            return
+        if tag in _VOID_KIND:
+            self._close_implicit()
+            self.blocks.append(
+                _RawBlock(
+                    kind="noise" if self._boiler_depth else _VOID_KIND[tag],
+                    boiler=self._boiler_depth > 0,
+                )
+            )
+            return
+        if tag == "br":
+            top = self._top()
+            if top is not None:
+                top.parts.append(("\n", False))
+            return
+        if tag == "a":
+            self._link_depth += 1
+            top = self._top()
+            if top is not None:
+                top.tag_count += 1
+            return
+        if tag in _BLOCK_KIND:
+            self._close_implicit()
+            self._open_block(_BLOCK_KIND[tag], a)
+            self._open_tags.append(tag)
+            return
+        top = self._top()
+        if top is not None:
+            top.tag_count += 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag not in _VOID_KIND and tag not in ("br", "a") and tag in _BLOCK_KIND:
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_CONTENT:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag in _BOILERPLATE:
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+            return
+        if self._dir_tags and self._dir_tags[-1] == tag:
+            self._dir_tags.pop()
+            self._dir_stack.pop()
+        if tag in _BLOCK_KIND:
+            # close innermost matching open block (lenient like the parser)
+            self._close_implicit()
+            if self._open_tags and self._open_tags[-1] == tag:
+                self._open_tags.pop()
+                self._stack.pop()
+            return
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        top = self._top()
+        if not data.strip():
+            # keep a single separator between inline siblings, but never
+            # open an implicit block on pure whitespace
+            if top is not None and top.parts:
+                top.parts.append((" ", False))
+            return
+        if top is None:
+            top = self._implicit()
+        top.parts.append((_WS_RE.sub(" ", data), self._link_depth > 0))
+
+
+# --------------------------------------------------------------------------
+# assembly: raw blocks -> span hierarchy + canonical text
+# --------------------------------------------------------------------------
+
+
+def _assemble_block(raw: _RawBlock) -> dict:
+    """One raw block -> lines/words with local canonical text.
+
+    Lines split on <br>-induced '\\n' (textLineOrder analogue,
+    recognize.py:735-780); words are whitespace tokens
+    (recognize.py:782-814); RTL blocks reverse word order per line
+    (common.py:138-151).
+    """
+    text = "".join(p for p, _ in raw.parts)
+    total_chars = 0
+    link_chars = 0
+    for part, in_link in raw.parts:
+        n = len(part.replace(" ", "").replace("\n", ""))
+        total_chars += n
+        if in_link:
+            link_chars += n
+    lines = []
+    for seg in text.split("\n"):
+        words = seg.split()
+        if not words:
+            continue
+        if raw.rtl:
+            words = list(reversed(words))
+        lines.append(words)
+    link_density = (link_chars / total_chars) if total_chars else 0.0
+    text_density = total_chars / (1.0 + raw.tag_count)
+    return {
+        "kind": raw.kind,
+        "rtl": raw.rtl,
+        "join": raw.join,
+        "line_words": lines,
+        "n_chars": total_chars,
+        "link_density": round(link_density, 6),
+        "text_density": round(text_density, 6),
+    }
+
+
+def _block_canonical_text(line_words: list) -> str:
+    return "\n".join(" ".join(ws) for ws in line_words)
+
+
+def classify_is_main(kind: str, n_chars: int, link_density: float,
+                     params: ExtractParams) -> bool:
+    """Main-content gate (the web analogue of text-region acceptance,
+    recognize.py:584-601 + the north rule's boilerplate classification)."""
+    if kind not in params.main_kinds:
+        return False
+    if link_density > params.max_link_density:
+        return False
+    if kind == "paragraph" and n_chars < params.min_paragraph_chars:
+        return False
+    return n_chars > 0
+
+
+def extract_document(html: bytes | str | None,
+                     params: ExtractParams = DEFAULT_PARAMS) -> dict:
+    """html payload -> extracted record (dict matching EXTRACTED_SCHEMA
+    minus url/partition bookkeeping).
+
+    Failure rows (undecodable/unparseable payloads) return
+    ``{"failed": True, ...}`` instead of raising — failures are counted in
+    lineage, they never abort the job (north rule).
+    """
+    try:
+        if html is None:
+            raise ValueError("null payload")
+        if isinstance(html, (bytes, bytearray, memoryview)):
+            html = bytes(html).decode("utf-8", errors="strict")
+        parser = _BlockParser()
+        parser.feed(html)
+        parser.close()
+        raws = parser.blocks
+    except Exception:
+        return {
+            "text": None,
+            "conf": 0.0,
+            "blocks": [],
+            "features": ["failed"],
+            "failed": True,
+        }
+
+    assembled = []
+    for raw in raws:
+        a = _assemble_block(raw)
+        # binary-empty filter: drop blocks with no tokens unless they are
+        # structural markers (recognize.py:598-601)
+        if not a["line_words"] and a["kind"] not in ("separator", "image"):
+            continue
+        assembled.append(a)
+
+    blocks = []
+    doc_parts: list[str] = []
+    pos = 0  # running char offset into canonical doc text
+    prev_main = False
+    main_confs: list[float] = []
+
+    for idx, a in enumerate(assembled):
+        block_id = "block%04d" % idx
+        is_main = classify_is_main(
+            a["kind"], a["n_chars"], a["link_density"], params
+        )
+        if params.segment_only:
+            is_main_out = is_main
+            blocks.append(
+                {
+                    "block_id": block_id,
+                    "kind": a["kind"],
+                    "order_idx": idx,
+                    "char_start": -1,
+                    "char_end": -1,
+                    "text": "",
+                    "conf": 0.0,
+                    "text_density": a["text_density"],
+                    "link_density": a["link_density"],
+                    "is_main": is_main_out,
+                    "lines": [],
+                }
+            )
+            continue
+        btext = _block_canonical_text(a["line_words"])
+        if not is_main:
+            # lazy recognition: segment-only for non-main blocks
+            blocks.append(
+                {
+                    "block_id": block_id,
+                    "kind": a["kind"],
+                    "order_idx": idx,
+                    "char_start": -1,
+                    "char_end": -1,
+                    "text": btext,
+                    "conf": 0.0,
+                    "text_density": a["text_density"],
+                    "link_density": a["link_density"],
+                    "is_main": False,
+                    "lines": [],
+                }
+            )
+            continue
+
+        # separator between main blocks: '\n' unless join relation
+        # (common.py:166-175)
+        if prev_main and not a["join"]:
+            doc_parts.append("\n")
+            pos += 1
+        b_start = pos
+        lines_out = []
+        line_confs = []
+        for li, words in enumerate(a["line_words"]):
+            if li > 0:
+                doc_parts.append("\n")
+                pos += 1
+            l_start = pos
+            words_out = []
+            wconfs = []
+            for wi, w in enumerate(words):
+                if wi > 0:
+                    doc_parts.append(" ")
+                    pos += 1
+                w_start = pos
+                doc_parts.append(w)
+                pos += len(w)
+                c = word_conf(w)
+                wconfs.append(c)
+                words_out.append(
+                    {
+                        "word_id": "%s_line%04d_word%04d" % (block_id, li, wi),
+                        "char_start": w_start,
+                        "char_end": pos,
+                        "text": w,
+                        "conf": c,
+                    }
+                )
+            lconf = sum(wconfs) / len(wconfs) if wconfs else 0.0
+            line_confs.append(lconf)
+            lines_out.append(
+                {
+                    "line_id": "%s_line%04d" % (block_id, li),
+                    "char_start": l_start,
+                    "char_end": pos,
+                    "text": " ".join(words),
+                    "conf": lconf,
+                    "words": words_out,
+                }
+            )
+        bconf = sum(line_confs) / len(line_confs) if line_confs else 0.0
+        main_confs.append(bconf)
+        blocks.append(
+            {
+                "block_id": block_id,
+                "kind": a["kind"],
+                "order_idx": idx,
+                "char_start": b_start,
+                "char_end": pos,
+                "text": btext,
+                "conf": bconf,
+                "text_density": a["text_density"],
+                "link_density": a["link_density"],
+                "is_main": True,
+                "lines": lines_out,
+            }
+        )
+        prev_main = True
+
+    doc_text = None
+    if not params.segment_only:
+        # rstrip('\n\f') on the final recognized text (recognize.py:636)
+        doc_text = "".join(doc_parts).rstrip("\n\f")
+    doc_conf = sum(main_confs) / len(main_confs) if main_confs else 0.0
+    return {
+        "text": doc_text,
+        "conf": doc_conf,
+        "blocks": blocks,
+        "features": list(params.features),
+        "failed": False,
+    }
