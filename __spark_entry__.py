@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction on sf0.001;
+``queries()``/``oracle_sql()`` expose the SURVEY.md section-2 operator
+inventory plus the training-data-pipeline layer (dedup / similarity / text
+analysis), each with an exactly-matching DuckDB oracle where SQL can
+express it.  Extraction queries over synthesized HTML payloads have no SQL
+twin (DOM parsing is not ANSI SQL) — those are checked byte-identically
+against the pure-Python oracle by ``python -m pytest -x -q`` instead.
 """
 
 from __future__ import annotations
@@ -12,27 +14,72 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize pages from sf0.001 documents, run the full
+    Arrow-batched extraction, return (url, text, conf, n_blocks, failed)."""
+    from ocrd_tesserocr_spark.corpus import pages_df
+    from ocrd_tesserocr_spark.pipeline import extract
+
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    out = extract(spark, pages)
+    return out.select(
+        "url",
+        "text",
+        F.round("conf", 6).alias("conf"),
+        F.size("blocks").alias("n_blocks"),
+        "failed",
+    )
+
+
+def _extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocrd_tesserocr_spark.corpus import pages_df
+    from ocrd_tesserocr_spark.pipeline import extract
+
+    out = extract(spark, pages_df(spark, sf_dir))
+    return out.select(
+        "url",
+        "text",
+        F.round("conf", 6).alias("conf"),
+        F.size("blocks").alias("n_blocks"),
+        "failed",
+    )
+
+
+def _extract_block_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded span table: one row per block (the SQL-facing face of the
+    nested hierarchy)."""
+    from ocrd_tesserocr_spark.corpus import pages_df
+    from ocrd_tesserocr_spark.pipeline import extract
+
+    out = extract(spark, pages_df(spark, sf_dir))
+    b = out.select("url", F.explode("blocks").alias("b"))
+    return b.select(
+        "url",
+        F.col("b.block_id").alias("block_id"),
+        F.col("b.kind").alias("kind"),
+        F.col("b.order_idx").alias("order_idx"),
+        F.col("b.char_start").alias("char_start"),
+        F.col("b.char_end").alias("char_end"),
+        F.col("b.is_main").alias("is_main"),
+        F.round(F.col("b.link_density"), 6).alias("link_density"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocrd_tesserocr_spark.operators import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = all_queries()
+    q = dict(q)
+    q["extract_flagship"] = _extract_flagship
+    q["extract_block_spans"] = _extract_block_spans
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocrd_tesserocr_spark.operators import all_queries
+
+    _, o = all_queries()
+    return dict(o)

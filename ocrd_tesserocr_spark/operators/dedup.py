@@ -1,0 +1,297 @@
+"""Deduplication operators over ``documents`` — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+Core training-data-pipeline layer.  Everything is JVM-side Spark built-ins
+(higher-order array functions, hash-groupBy, equi-joins) so Catalyst/AQE
+handle pushdown and skew; the only shuffle is the dedup groupBy/join on the
+hash keys, which is the theoretical minimum.  Cross-engine hash parity with
+the DuckDB oracles comes from md5-derived integers (functions/__init__.py):
+Spark's xxhash64/hash have no DuckDB twin, md5 does.
+
+At 100 TB the same plans hold: shingle hashing is a narrow map; the LSH
+band join shuffles only (band_key, doc_id) pairs — a tiny projection of the
+corpus — and AQE's skew-join splitting handles hot bands (boilerplate-heavy
+shingle clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import HASH_P, md5_long, md5_mod, sql_md5_long, sql_md5_mod
+
+N_HASHES = 16
+BAND_SIZE = 4
+N_BANDS = N_HASHES // BAND_SIZE
+# deterministic affine-hash parameters (shared literals on both engines)
+_A = [((2 * i + 1) * 1103515245) % HASH_P for i in range(N_HASHES)]
+_B = [(i * 12345 + 6789) % HASH_P for i in range(N_HASHES)]
+
+SIMHASH_BITS = 16
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared shingling: 3-word shingles -> md5-derived int hashes
+# ---------------------------------------------------------------------------
+def _affine(a: int, b: int):
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_P)
+
+
+def _sig_cols() -> list:
+    return [
+        F.array_min(F.transform(F.col("hs"), _affine(a, b))).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(_A, _B))
+    ]
+
+
+def _shingle_hashes() -> F.Column:
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    return F.transform(shingles, lambda s: md5_mod(s, HASH_P))
+
+
+_SQL_SHINGLE_HASHES = f"""
+list_transform(
+  list_transform(generate_series(1, len(str_split(text,' ')) - 2),
+                 i -> str_split(text,' ')[i] || ' ' ||
+                      str_split(text,' ')[i+1] || ' ' ||
+                      str_split(text,' ')[i+2]),
+  s -> {sql_md5_mod('s', HASH_P)})
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1 — exact dedup: hash-groupBy on content (keeper = min doc_id)
+# ---------------------------------------------------------------------------
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(md5_long(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT {sql_md5_long('text')} AS content_hash,
+       MIN(doc_id) AS keeper_doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2 — MinHash signatures (shingle -> minhash; band-join candidates below)
+# ---------------------------------------------------------------------------
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(F.size(F.split(F.col("text"), " ")) >= 3)
+    hs = _shingle_hashes().alias("hs")
+    with_h = docs.select("doc_id", hs)
+    sigged = with_h.select("doc_id", *_sig_cols())
+    sig_str = F.concat_ws("-", *[F.col(f"s{i}").cast("string") for i in range(N_HASHES)])
+    return sigged.select("doc_id", sig_str.alias("minhash_sig"))
+
+
+def _sql_sig_exprs() -> list[str]:
+    return [
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {HASH_P})) AS s{i}"
+        for i, (a, b) in enumerate(zip(_A, _B))
+    ]
+
+
+SQL_MINHASH_SIG = f"""
+WITH h AS (
+  SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs
+  FROM documents WHERE len(str_split(text,' ')) >= 3),
+s AS (
+  SELECT doc_id, {', '.join(_sql_sig_exprs())} FROM h)
+SELECT doc_id,
+       {" || '-' || ".join(f"s{i}::VARCHAR" for i in range(N_HASHES))} AS minhash_sig
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2b — LSH band join: candidate near-duplicate pairs
+# (band bucketing makes the shuffle O(docs * bands), never O(docs^2))
+# ---------------------------------------------------------------------------
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(F.size(F.split(F.col("text"), " ")) >= 3)
+    with_h = docs.select("doc_id", _shingle_hashes().alias("hs"))
+    sigged = with_h.select("doc_id", *_sig_cols())
+    bands = []
+    for b in range(N_BANDS):
+        key = F.concat_ws(
+            "-",
+            F.lit(str(b)),
+            *[F.col(f"s{b * BAND_SIZE + j}").cast("string") for j in range(BAND_SIZE)],
+        )
+        bands.append(sigged.select("doc_id", key.alias("band_key")))
+    banded = bands[0]
+    for df in bands[1:]:
+        banded = banded.unionAll(df)
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    return (
+        a.join(bb, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _sql_band_selects() -> str:
+    parts = []
+    for b in range(N_BANDS):
+        cols = " || '-' || ".join(
+            f"s{b * BAND_SIZE + j}::VARCHAR" for j in range(BAND_SIZE)
+        )
+        parts.append(f"SELECT doc_id, '{b}' || '-' || {cols} AS band_key FROM s")
+    return " UNION ALL ".join(parts)
+
+
+SQL_LSH_PAIRS = f"""
+WITH h AS (
+  SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs
+  FROM documents WHERE len(str_split(text,' ')) >= 3),
+s AS (
+  SELECT doc_id, {', '.join(_sql_sig_exprs())} FROM h),
+banded AS ({_sql_band_selects()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# D3 — SimHash (bit-majority fingerprint over word hashes)
+# ---------------------------------------------------------------------------
+def _vote_fn(b: int):
+    return lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    hs = F.transform(words, lambda w: md5_mod(w, HASH_P))
+    with_h = docs.select("doc_id", hs.alias("hs"))
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            _vote_fn(b),
+        )
+        sim = sim + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return with_h.select("doc_id", sim.alias("simhash"))
+
+
+def _sql_simhash_expr() -> str:
+    terms = [
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) % 2) * 2 - 1)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    ]
+    return " + ".join(terms)
+
+
+SQL_SIMHASH = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '), w -> {sql_md5_mod('w', HASH_P)}) AS hs
+  FROM documents)
+SELECT doc_id, ({_sql_simhash_expr()})::BIGINT AS simhash FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# D4 — n-gram Jaccard near-dup statistics (exact verification layer that
+# sits behind LSH candidate generation at scale)
+# ---------------------------------------------------------------------------
+def q_ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    exploded = (
+        docs.select("doc_id", "lang", F.explode(F.array_distinct(_shingle_hashes())).alias("h"))
+    )
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.lang") == F.col("b.lang")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.lang").alias("lang"),
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    j = (
+        inter.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .withColumn("jac", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.count_if(F.col("jac") >= 0.5).alias("n_dup_pairs"),
+        F.round(F.max("jac"), 6).alias("max_jaccard"),
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH h AS (
+  SELECT doc_id, lang, list_distinct({_SQL_SHINGLE_HASHES}) AS hs FROM documents),
+e AS (
+  SELECT doc_id, lang, unnest(hs) AS h FROM h),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id),
+inter AS (
+  SELECT a.lang AS lang, a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+  FROM e a JOIN e b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3),
+j AS (
+  SELECT i.lang, i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) AS jac
+  FROM inter i JOIN sizes sa ON i.da = sa.doc_id JOIN sizes sb ON i.db = sb.doc_id)
+SELECT lang, COUNT(*) AS n_candidate_pairs,
+       count_if(jac >= 0.5) AS n_dup_pairs,
+       ROUND(MAX(jac), 6) AS max_jaccard
+FROM j GROUP BY lang
+"""
+
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "minhash_signature": q_minhash_signature,
+    "lsh_pairs": q_lsh_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard_stats": q_ngram_jaccard_stats,
+}
+
+ORACLE_SQL = {
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_signature": SQL_MINHASH_SIG,
+    "lsh_pairs": SQL_LSH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "ngram_jaccard_stats": SQL_NGRAM_JACCARD,
+}

@@ -1,0 +1,152 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline layer (language-ID heuristic, quality scoring,
+token counting, document fingerprinting).
+
+These generalize the reference's script/orientation detection
+(/root/reference/ocrd_tesserocr/deskew.py:120-197) and mean-confidence
+scoring (recognize.py:978) to web text.  All pure Spark built-ins (JVM-side,
+whole-stage codegen); exact DuckDB parity via shared md5-derived hashing
+(functions/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import POLY_P, md5_mod, sql_md5_mod
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+# ---------------------------------------------------------------------------
+# T1 — language-ID heuristic (script detection analogue, deskew.py:146-195)
+# ---------------------------------------------------------------------------
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    ratio = stop / F.greatest(n, F.lit(1))
+    guessed = F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("und"))
+    # confidence gate (deskew.py:135-143): low-evidence docs keep their
+    # declared lang
+    final = F.when(n < 20, F.col("lang")).otherwise(guessed)
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stop_ratio"),
+        final.alias("guessed_lang"),
+    )
+
+
+SQL_LANG_ID = f"""
+WITH w AS (
+  SELECT doc_id, lang, str_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       ROUND(len(list_filter(words, x -> x IN ('the','a','of','and','to')))::DOUBLE
+             / GREATEST(len(words), 1), 6) AS stop_ratio,
+       CASE WHEN len(words) < 20 THEN lang
+            WHEN len(list_filter(words, x -> x IN ('the','a','of','and','to')))::DOUBLE
+                 / GREATEST(len(words), 1) >= 0.08 THEN 'en'
+            ELSE 'und' END AS guessed_lang
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# T2 — quality scoring (length / stopword / alpha ratios)
+# ---------------------------------------------------------------------------
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n = F.greatest(F.size(words), F.lit(1))
+    stop_ratio = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))) / n
+    len_score = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    short_ratio = F.size(F.filter(words, lambda w: F.length(w) <= 2)) / n
+    score = F.round(
+        0.4 * len_score + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 6
+    )
+    return docs.select("doc_id", score.alias("quality"))
+
+
+SQL_QUALITY = """
+WITH w AS (
+  SELECT doc_id, n_chars, str_split(text, ' ') AS words FROM documents),
+r AS (
+  SELECT doc_id,
+         LEAST(1.0, n_chars / 400.0) AS len_score,
+         len(list_filter(words, x -> x IN ('the','a','of','and','to')))::DOUBLE
+           / GREATEST(len(words), 1) AS stop_ratio,
+         len(list_filter(words, x -> length(x) <= 2))::DOUBLE
+           / GREATEST(len(words), 1) AS short_ratio
+  FROM w)
+SELECT doc_id,
+       ROUND(0.4 * len_score + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 6) AS quality
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# T3 — token counting: whitespace + BPE-ish regex pieces
+# ---------------------------------------------------------------------------
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]{1,4}"), 0))
+    return docs.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(str_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]{1,4}')) AS bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# T4 — document fingerprint: polynomial rolling hash over word hashes
+# (the scalable analogue of per-page checksumming; md5-parity fold)
+# ---------------------------------------------------------------------------
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    hashes = F.transform(words, lambda w: md5_mod(w, POLY_P))
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(POLY_P),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_FINGERPRINT = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '), x -> {sql_md5_mod('x', POLY_P)}) AS hs
+  FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, hs),
+                   (acc, h) -> (acc * 31 + h) % {POLY_P}) AS fingerprint
+FROM w
+"""
+
+
+QUERIES = {
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+}
+
+ORACLE_SQL = {
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "fingerprint": SQL_FINGERPRINT,
+}

@@ -1,0 +1,223 @@
+"""Unit tests for the single-document oracle — every semantic rule
+transplanted from the reference is pinned here (SURVEY.md section 5)."""
+
+from __future__ import annotations
+
+from ocrd_tesserocr_spark.oracle import (
+    DEFAULT_PARAMS,
+    ExtractParams,
+    extract_document,
+    word_conf,
+)
+
+
+def _doc(body: str) -> bytes:
+    return ("<html><head><title>t</title></head><body>%s</body></html>" % body).encode()
+
+
+def test_basic_paragraphs_join_with_newline():
+    # line->region '\n' join (common.py:166-175)
+    out = extract_document(_doc("<p>hello world of spark</p><p>second paragraph here ok</p>"))
+    assert out["text"] == "hello world of spark\nsecond paragraph here ok"
+    assert not out["failed"]
+
+
+def test_words_join_with_single_space_and_whitespace_collapses():
+    # word->line ' ' join (common.py:159); whitespace normalization
+    out = extract_document(_doc("<p>a   lot\t of \n  spaces collapse here</p>"))
+    assert out["text"] == "a lot of spaces collapse here"
+
+
+def test_br_splits_lines_within_block():
+    # TextLine segmentation (recognize.py:735-780)
+    out = extract_document(_doc("<p>first line words here<br>second line words here</p>"))
+    b = [b for b in out["blocks"] if b["is_main"]][0]
+    assert len(b["lines"]) == 2
+    assert out["text"] == "first line words here\nsecond line words here"
+
+
+def test_ids_match_reference_formats():
+    # block%04d / _line%04d / _word%04d (recognize.py:604,769,804)
+    out = extract_document(_doc("<p>alpha beta gamma delta epsilon</p>"))
+    b = out["blocks"][0]
+    assert b["block_id"] == "block0000"
+    ln = b["lines"][0]
+    assert ln["line_id"] == "block0000_line0000"
+    assert ln["words"][0]["word_id"] == "block0000_line0000_word0000"
+    assert ln["words"][2]["word_id"] == "block0000_line0000_word0002"
+
+
+def test_spans_are_consistent_and_nested():
+    # span clip invariant (common.py:282-312 analogue)
+    out = extract_document(
+        _doc("<h1>Title Here</h1><p>one two three four five</p><p>six seven eight nine ten</p>")
+    )
+    text = out["text"]
+    for b in out["blocks"]:
+        if not b["is_main"]:
+            continue
+        assert text[b["char_start"] : b["char_end"]] == b["text"]
+        for ln in b["lines"]:
+            assert b["char_start"] <= ln["char_start"] <= ln["char_end"] <= b["char_end"]
+            assert text[ln["char_start"] : ln["char_end"]] == ln["text"]
+            for w in ln["words"]:
+                assert ln["char_start"] <= w["char_start"] <= w["char_end"] <= ln["char_end"]
+                assert text[w["char_start"] : w["char_end"]] == w["text"]
+
+
+def test_join_relation_suppresses_separator():
+    # Relation type='join' no-whitespace rule (common.py:90-99,166-175)
+    out = extract_document(
+        _doc('<p>ends with hyphen continu-</p><p data-join="1">ation text follows here</p>')
+    )
+    assert out["text"] == "ends with hyphen continu-ation text follows here"
+
+
+def test_rtl_reverses_word_order():
+    # direction-aware traversal (common.py:138-151)
+    out = extract_document(_doc('<p dir="rtl">alpha beta gamma delta</p>'))
+    assert out["text"] == "delta gamma beta alpha"
+
+
+def test_rtl_inherited_from_ancestor():
+    out = extract_document(
+        ('<html><body dir="rtl"><p>alpha beta gamma delta</p></body></html>').encode()
+    )
+    assert out["text"] == "delta gamma beta alpha"
+
+
+def test_boilerplate_containers_are_noise():
+    out = extract_document(
+        _doc("<nav><a href='/'>Home</a> <a href='/a'>About</a></nav><p>real main content text here</p>")
+    )
+    kinds = {b["kind"] for b in out["blocks"]}
+    assert "noise" in kinds
+    assert out["text"] == "real main content text here"
+
+
+def test_link_density_gate():
+    # boilerplate classification (north rule); link-dense block excluded
+    out = extract_document(
+        _doc(
+            '<p><a href="/x">linky link link link</a> <a href="/y">more links here now</a></p>'
+            "<p>plain main content paragraph text</p>"
+        )
+    )
+    assert out["text"] == "plain main content paragraph text"
+    linky = out["blocks"][0]
+    assert linky["link_density"] > 0.9 and not linky["is_main"]
+
+
+def test_min_paragraph_chars_filter():
+    # too-small region filter (recognize.py:584-597)
+    out = extract_document(_doc("<p>tiny</p><p>long enough paragraph to pass the filter</p>"))
+    assert out["text"] == "long enough paragraph to pass the filter"
+    small = out["blocks"][0]
+    assert small["is_main"] is False and small["char_start"] == -1
+
+
+def test_headings_exempt_from_min_chars():
+    out = extract_document(_doc("<h1>Hi</h1><p>long enough paragraph to pass the filter</p>"))
+    assert out["text"].startswith("Hi\n")
+
+
+def test_empty_blocks_dropped():
+    # binary-empty region filter (recognize.py:598-601)
+    out = extract_document(_doc("<p>   </p><p></p><p>kept paragraph with enough text</p>"))
+    assert [b["kind"] for b in out["blocks"]] == ["paragraph"]
+
+
+def test_separator_and_image_kept_as_markers():
+    out = extract_document(_doc("<p>first paragraph long enough here</p><hr><img src='x.png'>"))
+    kinds = [b["kind"] for b in out["blocks"]]
+    assert kinds == ["paragraph", "separator", "image"]
+    assert out["blocks"][1]["lines"] == [] and out["blocks"][1]["char_start"] == -1
+
+
+def test_script_style_title_masked():
+    # non-text mask (binarize.py:106-110 analogue)
+    out = extract_document(
+        _doc("<script>var x='nope';</script><style>.a{}</style><p>only this text stays here</p>")
+    )
+    assert out["text"] == "only this text stays here"
+
+
+def test_table_cells_are_blocks():
+    # cell segmentation (recognize.py:690-733)
+    out = extract_document(
+        _doc("<table><tr><td>cell one text</td><td>cell two text</td></tr></table>")
+    )
+    cells = [b for b in out["blocks"] if b["kind"] == "table"]
+    assert len(cells) == 2
+    assert out["text"] == "cell one text\ncell two text"
+
+
+def test_nested_paragraph_in_cell():
+    out = extract_document(
+        _doc("<table><tr><td><p>nested paragraph inside a cell</p></td></tr></table>")
+    )
+    kinds = [b["kind"] for b in out["blocks"]]
+    assert "paragraph" in kinds
+
+
+def test_order_idx_dense_from_zero():
+    # reading-order index allocation (recognize.py:534-544)
+    out = extract_document(
+        _doc("<h1>Big Title</h1><p>first paragraph long enough</p><hr><p>second paragraph long enough</p>")
+    )
+    assert [b["order_idx"] for b in out["blocks"]] == list(range(len(out["blocks"])))
+
+
+def test_no_trailing_newline_or_formfeed():
+    # rstrip('\n\f') (recognize.py:636)
+    out = extract_document(_doc("<p>some good paragraph content here</p><hr>"))
+    assert not out["text"].endswith("\n") and not out["text"].endswith("\f")
+
+
+def test_malformed_bytes_become_failure_row():
+    out = extract_document(b"<html><p>abc" + b"\xff\xfe\x80")
+    assert out["failed"] is True and out["text"] is None and out["blocks"] == []
+    assert out["features"] == ["failed"]
+
+
+def test_null_payload_is_failure():
+    assert extract_document(None)["failed"] is True
+
+
+def test_whitespace_only_document():
+    out = extract_document(_doc("   \n\t "))
+    assert out["text"] == "" and out["blocks"] == [] and not out["failed"]
+
+
+def test_confidences_are_means():
+    # arithmetic means at every level (common.py:127-128, recognize.py:637)
+    out = extract_document(_doc("<p>alpha beta gamma delta epsilon zeta</p>"))
+    b = out["blocks"][0]
+    ws = b["lines"][0]["words"]
+    assert abs(b["lines"][0]["conf"] - sum(w["conf"] for w in ws) / len(ws)) < 1e-12
+    assert abs(b["conf"] - b["lines"][0]["conf"]) < 1e-12
+    assert abs(out["conf"] - b["conf"]) < 1e-12
+
+
+def test_word_conf_deterministic():
+    assert word_conf("alpha") == 1.0
+    assert word_conf("a-b") == round(1 - 0.5 * (1 / 3), 4)
+    assert word_conf("") == 0.5
+
+
+def test_segment_only_mode():
+    # textequiv_level='none' lazy recognition (recognize.py:411,481-486)
+    p = ExtractParams(segment_only=True, features=("cleaned", "segmented"))
+    out = extract_document(_doc("<p>some good paragraph content here</p>"), p)
+    assert out["text"] is None
+    assert out["blocks"][0]["lines"] == [] and out["blocks"][0]["text"] == ""
+    assert out["features"] == ["cleaned", "segmented"]
+
+
+def test_inline_tags_keep_word_separation():
+    out = extract_document(_doc("<p>one <b>two</b> <i>three</i> four five six</p>"))
+    assert out["text"] == "one two three four five six"
+
+
+def test_default_params_frozen():
+    assert DEFAULT_PARAMS.min_paragraph_chars == 16

@@ -1,0 +1,70 @@
+"""Stage runs: snapshot commits, lineage accounting, checkpoint resume."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ocrd_tesserocr_spark.pipeline import (
+    read_extracted,
+    read_lineage,
+    run_stage,
+    user_view,
+)
+
+
+def test_run_stage_and_lineage(spark, pages_small, tmp_path):
+    out_dir = str(tmp_path / "extracted")
+    res = run_stage(spark, pages_small, out_dir, num_partitions=4)
+    assert res["snapshot_id"] == 1
+    assert res["doc_count"] == pages_small.count()
+    assert res["failure_count"] > 0  # malformed template rows
+
+    lin = read_lineage(spark, out_dir)
+    agg = lin.agg(
+        F.sum("doc_count").alias("d"), F.sum("failure_count").alias("f")
+    ).collect()[0]
+    assert agg["d"] == res["doc_count"]
+    assert agg["f"] == res["failure_count"]
+    # per-partition rows, one per non-empty partition
+    assert lin.select("partition_id").distinct().count() <= 4
+    assert lin.filter(F.col("stage") != "extract").count() == 0
+
+
+def test_resume_skips_done_work(spark, pages_small, tmp_path):
+    out_dir = str(tmp_path / "extracted")
+    half = pages_small.limit(200)
+    r1 = run_stage(spark, half, out_dir, num_partitions=4)
+    assert r1["doc_count"] == 200
+    # full input; only the remainder is processed (anti-join resume,
+    # OCRD_EXISTING_OUTPUT=SKIP analogue)
+    r2 = run_stage(spark, pages_small, out_dir, num_partitions=4)
+    assert r2["snapshot_id"] == 2
+    assert r1["doc_count"] + r2["doc_count"] == pages_small.count()
+
+    all_rows = read_extracted(spark, out_dir)
+    assert all_rows.count() == pages_small.count()
+    assert all_rows.select("url").distinct().count() == pages_small.count()
+
+    # idempotent: third run processes nothing
+    r3 = run_stage(spark, pages_small, out_dir, num_partitions=4)
+    assert r3["doc_count"] == 0
+
+
+def test_uncommitted_snapshot_invisible(spark, pages_small, tmp_path):
+    """A killed run leaves data files but no manifest entry -> invisible
+    (snapshot isolation, the Iceberg property the manifest emulates)."""
+    out_dir = str(tmp_path / "extracted")
+    run_stage(spark, pages_small.limit(50), out_dir, num_partitions=2)
+    # simulate a crash: data written for snapshot 2 but no manifest commit
+    os.makedirs(os.path.join(out_dir, "snapshot_id=2"), exist_ok=True)
+    pages_small.limit(10)  # no-op
+    assert read_extracted(spark, out_dir).count() == 50
+
+
+def test_user_view_columns(spark, pages_small, tmp_path):
+    out_dir = str(tmp_path / "extracted")
+    run_stage(spark, pages_small.limit(20), out_dir, num_partitions=2)
+    cols = user_view(read_extracted(spark, out_dir)).columns
+    assert cols == ["url", "text", "conf", "blocks", "features"]
