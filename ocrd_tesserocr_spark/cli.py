@@ -1,0 +1,84 @@
+"""spark-submit entry point.
+
+The reference exposes 10 click commands wrapping processors
+(/root/reference/ocrd_tesserocr/cli.py:15-63); here each stage preset is a
+subcommand of one job::
+
+    spark-submit --py-files dist/engine.zip -m ocrd_tesserocr_spark.cli \\
+        extract --preset recognize --input /data/pages --output /data/extracted
+
+On a real cluster ``--master yarn/k8s`` + executor counts come from
+spark-submit; this module only declares the logical plan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ocrd-tesserocr-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="run an extraction stage")
+    ex.add_argument("--preset", default="recognize",
+                    help="recognize|segment|sparse|strict_main")
+    ex.add_argument("--input", required=True, help="pages parquet/table path")
+    ex.add_argument("--output", required=True, help="output snapshot dir")
+    ex.add_argument("--partitions", type=int, default=None)
+    ex.add_argument("--no-resume", action="store_true")
+    ex.add_argument("--master", default=None)
+
+    ls = sub.add_parser("list-presets", help="list stage presets")
+
+    lin = sub.add_parser("lineage", help="show lineage rows for an output dir")
+    lin.add_argument("--output", required=True)
+    lin.add_argument("--master", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "list-presets":
+        from .plans import PRESETS
+
+        for name, params in PRESETS.items():
+            print(name, json.dumps(params.__dict__, default=list))
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(args.master)
+    try:
+        if args.cmd == "extract":
+            from .pipeline import run_stage
+            from .plans import PRESETS
+
+            params = PRESETS[args.preset]
+            pages = spark.read.parquet(args.input)
+            res = run_stage(
+                spark,
+                pages,
+                args.output,
+                stage=args.preset,
+                params=params,
+                num_partitions=args.partitions,
+                resume=not args.no_resume,
+            )
+            print(json.dumps(res))
+            return 0
+        if args.cmd == "lineage":
+            from .pipeline import read_lineage
+
+            read_lineage(spark, args.output).show(100, truncate=False)
+            return 0
+    finally:
+        spark.stop()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,11 +9,11 @@ from __future__ import annotations
 
 
 def all_queries():
-    from . import dedup, relational, similarity, text
+    from . import dedup, multimodal, relational, similarity, text
 
     q = {}
     o = {}
-    for mod in (relational, text, dedup, similarity):
+    for mod in (relational, text, dedup, similarity, multimodal):
         q.update(mod.QUERIES)
         o.update(mod.ORACLE_SQL)
     return q, o

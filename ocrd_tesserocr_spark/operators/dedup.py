@@ -32,7 +32,15 @@ SIMHASH_BITS = 16
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """documents scan, re-split for CPU-heavy hashing.
+
+    The sandbox parquet is a single row group -> one task; the explicit
+    repartition buys full parallelism for the md5-heavy map.  At
+    production scale the scan already has thousands of splits and this
+    exchange carries only (doc_id, text, lang) — negligible next to the
+    hash work it parallelizes."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------
@@ -138,17 +146,22 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).where(F.size(F.split(F.col("text"), " ")) >= 3)
     with_h = docs.select("doc_id", _shingle_hashes().alias("hs"))
     sigged = with_h.select("doc_id", *_sig_cols())
-    bands = []
-    for b in range(N_BANDS):
-        key = F.concat_ws(
-            "-",
-            F.lit(str(b)),
-            *[F.col(f"s{b * BAND_SIZE + j}").cast("string") for j in range(BAND_SIZE)],
-        )
-        bands.append(sigged.select("doc_id", key.alias("band_key")))
-    banded = bands[0]
-    for df in bands[1:]:
-        banded = banded.unionAll(df)
+    # one projection computes all band keys, then explodes: the minhash
+    # DAG runs once per row, not once per band
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[
+                    F.col(f"s{b * BAND_SIZE + j}").cast("string")
+                    for j in range(BAND_SIZE)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigged.select("doc_id", F.explode(keys).alias("band_key"))
     a = banded.alias("a")
     bb = banded.alias("b")
     return (

@@ -1,0 +1,136 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
+
+The reference's pixel-domain operators (binarize/crop/deskew over PIL
+images) generalize to media payloads handled as binary columns with the
+heavy decode inside Arrow batches.  The image/audio codecs are NOT in this
+container, so the decode kernels are deterministic stubs behind
+``MEDIA_DECODERS`` — the Spark-side plumbing (schema, partitioning, batch
+shape, UDF signatures) is real and tested, and swapping a stub for a
+pillow/ffmpeg call changes nothing outside this module.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("media_kind", T.StringType(), False),
+        T.StructField("sniff_ok", T.BooleanType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+        T.StructField("thumb", T.BinaryType(), True),
+    ]
+)
+
+_MAGIC = {
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"RIFF": "audio/wav",
+    b"<htm": "text/html",
+    b"<HTM": "text/html",
+    b"<!do": "text/html",
+    b"<!DO": "text/html",
+}
+
+
+def sniff_kind(payload: bytes | None) -> str:
+    if not payload:
+        return "empty"
+    head = bytes(payload[:8])
+    for magic, kind in _MAGIC.items():
+        if head[: len(magic)] == magic:
+            return kind
+    if head.lstrip()[:1] == b"<":
+        return "text/html"
+    return "application/octet-stream"
+
+
+def decode_image_stub(payload: bytes) -> bytes:
+    """Deterministic fake 'decode + resize to thumbnail': 16-byte digest.
+
+    Real deployment: ``PIL.Image.open(io.BytesIO(payload)).resize(...)``;
+    the cluster-side contract (bytes in -> small bytes out, inside an
+    Arrow batch) is identical.
+    """
+    return hashlib.sha256(payload).digest()[:16]
+
+
+def decode_audio_stub(payload: bytes) -> bytes:
+    raise NotImplementedError(
+        "audio decode requires ffmpeg/librosa (not in this container); "
+        "plumbing is exercised with decode_image_stub"
+    )
+
+
+MEDIA_DECODERS = {
+    "image/png": decode_image_stub,
+    "image/jpeg": decode_image_stub,
+    "text/html": decode_image_stub,  # thumbnail-of-render stand-in
+}
+
+
+def media_meta_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary payload -> typed metadata + thumbnail."""
+    for pdf in it:
+        out = {c: [] for c in ("url", "n_bytes", "media_kind", "sniff_ok", "content_hash", "thumb")}
+        for url, payload in zip(pdf["url"], pdf["html"]):
+            b = bytes(payload) if payload is not None else b""
+            kind = sniff_kind(b)
+            dec = MEDIA_DECODERS.get(kind)
+            out["url"].append(url)
+            out["n_bytes"].append(len(b))
+            out["media_kind"].append(kind)
+            out["sniff_ok"].append(dec is not None)
+            out["content_hash"].append(hashlib.md5(b).hexdigest())
+            out["thumb"].append(dec(b) if dec and b else None)
+        yield pd.DataFrame(out)
+
+
+def media_meta(pages: DataFrame) -> DataFrame:
+    return pages.select("url", "html").mapInPandas(
+        media_meta_batches, schema=MEDIA_META_SCHEMA
+    )
+
+
+# --- driver-facing query (binary metadata over documents.text bytes has an
+# exact SQL oracle; the pages-payload variant is rows-only) ---------------
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+    )
+
+
+SQL_BINARY_META = """
+SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_hash
+FROM documents
+"""
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..corpus import pages_df
+
+    return media_meta(pages_df(spark, sf_dir)).select(
+        "url", "n_bytes", "media_kind", "sniff_ok", "content_hash"
+    )
+
+
+QUERIES = {
+    "binary_meta": q_binary_meta,
+    "media_meta": q_media_meta,
+}
+
+ORACLE_SQL = {
+    "binary_meta": SQL_BINARY_META,
+}

@@ -47,16 +47,21 @@ def _norm(a):
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    q = (
-        emb.where(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    # norms materialize in projections BELOW the join: O(n) norm folds,
+    # not O(n*q) — the interpreted higher-order fold is the expensive part
+    emb = (
+        _emb(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     # broadcast the small query side; the big side streams through unshuffled
     joined = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
-    cos = _dot(F.col("qv"), F.col("embedding")) / (
-        _norm(F.col("qv")) * _norm(F.col("embedding"))
-    )
+    cos = _dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     scored = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -106,20 +111,26 @@ def _bucket(col) -> F.Column:
 def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
+    emb = (
+        _emb(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "embedding",
+            _bucket(F.col("embedding")).alias("bucket"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
     )
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket"),
+        F.col("nrm").alias("qnrm"),
     )
     joined = emb.join(F.broadcast(q), "bucket").where(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = _dot(F.col("qv"), F.col("embedding")) / (
-        _norm(F.col("qv")) * _norm(F.col("embedding"))
-    )
+    cos = _dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     scored = joined.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 4).alias("sim")
     )

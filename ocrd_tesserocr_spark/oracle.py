@@ -59,6 +59,13 @@ class ExtractParams:
     #: segment-only mode: skip recognition (textequiv_level='none',
     #: recognize.py:411) — blocks get no lines/spans and doc text is None
     segment_only: bool = False
+    #: exit level of the hierarchy to EMIT (the reference's
+    #: textequiv_level parameter, ocrd-tool.json:90-98): 'block' emits
+    #: block spans only (the north rule's contract: text + spans per
+    #: block), 'line' adds lines, 'word' the full hierarchy.  The
+    #: document text/conf/spans are identical at every level — this only
+    #: gates how much nested structure crosses the Arrow boundary.
+    textequiv_level: str = "word"
     #: stage-lineage tags recorded on every row (AlternativeImage @comments
     #: analogue, recognize.py:489-491)
     features: tuple = ("cleaned", "segmented", "recognized")
@@ -454,6 +461,13 @@ def extract_document(html: bytes | str | None,
             )
         bconf = sum(line_confs) / len(line_confs) if line_confs else 0.0
         main_confs.append(bconf)
+        # emission gate (textequiv_level): structure below the exit level
+        # never crosses the batch boundary (lazy emission, the analogue of
+        # running lower RIL levels only when asked, recognize.py:806-856)
+        if params.textequiv_level == "block":
+            lines_out = []
+        elif params.textequiv_level == "line":
+            lines_out = [dict(ln, words=[]) for ln in lines_out]
         blocks.append(
             {
                 "block_id": block_id,

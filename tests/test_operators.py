@@ -1,0 +1,211 @@
+"""Operator-layer tests: presets, dedup on planted near-dups, similarity
+sanity, multimodal plumbing, CLI, sources."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# presets (facade rewrites, segment.py:17-24)
+# ---------------------------------------------------------------------------
+def test_segment_preset_is_layout_only(spark, pages_small):
+    from ocrd_tesserocr_spark.pipeline import extract
+    from ocrd_tesserocr_spark.plans import PRESETS
+
+    rows = extract(spark, pages_small.limit(30), PRESETS["segment"], 2).collect()
+    for r in rows:
+        assert r["text"] is None
+        for b in r["blocks"]:
+            assert b["lines"] == [] and b["text"] == ""
+
+
+def test_strict_main_is_subset_of_recognize(spark, pages_small):
+    from ocrd_tesserocr_spark.pipeline import extract
+    from ocrd_tesserocr_spark.plans import PRESETS
+
+    sample = pages_small.limit(60)
+    base = {r["url"]: r for r in extract(spark, sample, PRESETS["recognize"], 2).collect()}
+    strict = extract(spark, sample, PRESETS["strict_main"], 2).collect()
+    for r in strict:
+        b_main = {b["block_id"] for b in r["blocks"] if b["is_main"]}
+        base_main = {b["block_id"] for b in base[r["url"]]["blocks"] if b["is_main"]}
+        assert b_main <= base_main
+
+
+def test_sparse_preset_accepts_short_blocks(spark, pages_small):
+    from ocrd_tesserocr_spark.pipeline import extract
+    from ocrd_tesserocr_spark.plans import PRESETS
+
+    sample = pages_small.limit(60)
+    base = extract(spark, sample, PRESETS["recognize"], 2)
+    sparse = extract(spark, sample, PRESETS["sparse"], 2)
+    n_base = base.select(F.explode("blocks").alias("b")).where("b.is_main").count()
+    n_sparse = sparse.select(F.explode("blocks").alias("b")).where("b.is_main").count()
+    assert n_sparse >= n_base
+
+
+# ---------------------------------------------------------------------------
+# dedup finds planted duplicates
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    """documents table with planted exact + near duplicates."""
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    rows = base.to_dict("records")
+    # exact dup of doc 0; near-dup of doc 1 (one word changed)
+    d0 = dict(rows[0]);  d0["doc_id"] = 900001
+    d1 = dict(rows[1]);  d1["doc_id"] = 900002
+    w = d1["text"].split();  w[len(w) // 2] = "CHANGED";  d1["text"] = " ".join(w)
+    rows += [d0, d1]
+    out = str(tmp_path_factory.mktemp("planted"))
+    pd.DataFrame(rows).to_parquet(out + "/documents.parquet")
+    return out
+
+
+def test_exact_dedup_finds_planted(spark, planted):
+    from ocrd_tesserocr_spark.operators.dedup import q_exact_dedup
+
+    res = q_exact_dedup(spark, planted).where("dup_count > 1").collect()
+    assert len(res) == 1
+    assert res[0]["dup_count"] == 2 and res[0]["keeper_doc_id"] == 0
+
+
+def test_lsh_finds_planted_near_dup(spark, planted):
+    from ocrd_tesserocr_spark.operators.dedup import q_lsh_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in q_lsh_pairs(spark, planted).collect()}
+    assert (0, 900001) in pairs  # exact dup always collides
+    assert (1, 900002) in pairs  # near dup shares >= 1 band
+
+
+def test_simhash_close_for_near_dup(spark, planted):
+    from ocrd_tesserocr_spark.operators.dedup import q_simhash
+
+    sims = {r["doc_id"]: r["simhash"] for r in q_simhash(spark, planted).collect()}
+    assert sims[0] == sims[900001]
+    hamming = bin(sims[1] ^ sims[900002]).count("1")
+    assert hamming <= 4  # one changed word flips few bits
+
+
+def test_minhash_identical_for_exact_dup(spark, planted):
+    from ocrd_tesserocr_spark.operators.dedup import q_minhash_signature
+
+    sigs = {r["doc_id"]: r["minhash_sig"] for r in q_minhash_signature(spark, planted).collect()}
+    assert sigs[0] == sigs[900001]
+
+
+# ---------------------------------------------------------------------------
+# similarity sanity: self-bucket recall, deterministic ranks
+# ---------------------------------------------------------------------------
+def test_cosine_topk_shape(spark):
+    from ocrd_tesserocr_spark.operators.similarity import TOP_K, q_cosine_topk
+
+    rows = q_cosine_topk(spark, SF_SMOKE).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0001 <= r["sim"] <= 1.0001
+    assert all(len(v) == TOP_K for v in per_q.values())
+
+
+def test_ann_bucketed_structure(spark):
+    """Bucketed ANN: candidates come only from the query's sign-bucket,
+    ranks are dense per query, sims non-increasing.  (The driver
+    testdata's embeddings are unclustered random vectors, so recall-vs-
+    brute-force is chance level by construction — correctness of the
+    bucketing itself is what's assertable.)"""
+    import numpy as np
+
+    from ocrd_tesserocr_spark.operators.similarity import (
+        BUCKET_DIMS,
+        TOP_K,
+        q_ann_bucketed,
+    )
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+
+    def bucket(v):
+        return "".join("1" if v[i] >= 0 else "0" for i in range(BUCKET_DIMS))
+
+    per_q = {}
+    for r in q_ann_bucketed(spark, SF_SMOKE).collect():
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert bucket(emb[r["neighbor_id"]]) == bucket(emb[r["query_id"]])
+        v1 = np.array(emb[r["query_id"]], dtype=float)
+        v2 = np.array(emb[r["neighbor_id"]], dtype=float)
+        expect = v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2))
+        assert abs(r["sim"] - round(expect, 4)) < 2e-4
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= TOP_K
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+def test_media_meta(spark, pages_small):
+    from ocrd_tesserocr_spark.operators.multimodal import media_meta
+
+    rows = media_meta(pages_small.limit(30)).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["n_bytes"] > 0
+        assert r["media_kind"] in ("text/html", "application/octet-stream")
+        if r["sniff_ok"]:
+            assert r["thumb"] is not None and len(r["thumb"]) == 16
+
+
+def test_audio_stub_raises():
+    from ocrd_tesserocr_spark.operators.multimodal import decode_audio_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_audio_stub(b"RIFF1234")
+
+
+# ---------------------------------------------------------------------------
+# sources / feature filter
+# ---------------------------------------------------------------------------
+def test_read_pages_lang_filter_pushdown(spark, tmp_path):
+    from ocrd_tesserocr_spark.corpus import pages_df
+    from ocrd_tesserocr_spark.sources import read_pages
+
+    path = str(tmp_path / "pages")
+    pages_df(spark, SF_SMOKE).write.parquet(path)
+    df = read_pages(spark, path, langs=["en"])
+    assert df.count() > 0
+    assert df.where("lang != 'en'").count() == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_filter_features(spark, pages_small):
+    from ocrd_tesserocr_spark.pipeline import extract
+    from ocrd_tesserocr_spark.sources import filter_features
+
+    out = extract(spark, pages_small.limit(40), num_partitions=2)
+    kept = filter_features(out, ["failed"])
+    assert kept.where("failed").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+def test_cli_list_presets(capsys):
+    from ocrd_tesserocr_spark.cli import main
+
+    assert main(["list-presets"]) == 0
+    out = capsys.readouterr().out
+    for name in ("recognize", "segment", "sparse", "strict_main"):
+        assert name in out

@@ -221,3 +221,26 @@ def test_inline_tags_keep_word_separation():
 
 def test_default_params_frozen():
     assert DEFAULT_PARAMS.min_paragraph_chars == 16
+
+
+def test_textequiv_level_block_prunes_lines():
+    # exit-level gating (textequiv_level, ocrd-tool.json:90-98)
+    p = ExtractParams(textequiv_level="block")
+    full = extract_document(_doc("<p>alpha beta gamma delta epsilon</p>"))
+    blk = extract_document(_doc("<p>alpha beta gamma delta epsilon</p>"), p)
+    assert blk["text"] == full["text"]
+    assert blk["conf"] == full["conf"]
+    b_full, b_blk = full["blocks"][0], blk["blocks"][0]
+    assert b_blk["lines"] == []
+    assert (b_blk["char_start"], b_blk["char_end"]) == (
+        b_full["char_start"], b_full["char_end"])
+    assert b_blk["text"] == b_full["text"]
+
+
+def test_textequiv_level_line_prunes_words():
+    p = ExtractParams(textequiv_level="line")
+    out = extract_document(_doc("<p>alpha beta<br>gamma delta epsilon</p>"), p)
+    b = out["blocks"][0]
+    assert len(b["lines"]) == 2
+    for ln in b["lines"]:
+        assert ln["words"] == [] and ln["text"]

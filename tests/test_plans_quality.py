@@ -1,0 +1,65 @@
+"""Physical-plan quality guards: the plans we ship are the plans we want
+(SURVEY.md section 4).  These assertions fail if a regression reintroduces
+a shuffle, loses a broadcast, or breaks scan pruning."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extraction_has_single_exchange(spark, pages_small):
+    """Exactly one Exchange (the explicit salted repartition) feeds the
+    Arrow kernel — no accidental extra shuffles."""
+    from ocrd_tesserocr_spark.pipeline import extract
+
+    plan = _plan(extract(spark, pages_small, num_partitions=4))
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    from ocrd_tesserocr_spark.operators.similarity import q_cosine_topk
+
+    plan = _plan(q_cosine_topk(spark, SF_ORACLE))
+    assert "Broadcast" in plan
+
+
+def test_resume_antijoin_column_pruned(spark):
+    """The anti-join build side must scan only the join key, not the
+    payload columns."""
+    from ocrd_tesserocr_spark.operators.relational import q_resume_antijoin
+
+    plan = _plan(q_resume_antijoin(spark, SF_ORACLE))
+    assert "l_orderkey" in plan
+    # lineitem payload columns must not be read
+    for col in ("l_quantity", "l_extendedprice", "l_shipdate"):
+        assert col not in plan
+
+
+def test_q1_pushes_filter_to_scan(spark):
+    from ocrd_tesserocr_spark.operators.relational import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, SF_ORACLE))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side combine: two HashAggregate levels around the exchange."""
+    from ocrd_tesserocr_spark.operators.relational import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, SF_ORACLE))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_filter_degenerate_scans_needed_columns_only(spark):
+    from ocrd_tesserocr_spark.operators.relational import q_filter_degenerate
+
+    plan = _plan(q_filter_degenerate(spark, SF_ORACLE))
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
