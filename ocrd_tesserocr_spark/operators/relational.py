@@ -410,6 +410,78 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# G4/G5 — span union / hull of child segments (join_polygons, common.py:223-265)
+# ---------------------------------------------------------------------------
+def q_span_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cs = F.col("l_partkey") % 100
+    ce = cs + F.col("l_linenumber") * 7
+    return (
+        li.select("l_orderkey", cs.alias("cs"), ce.alias("ce"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("cs").alias("hull_start"),
+            F.max("ce").alias("hull_end"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+    )
+
+
+SQL_SPAN_UNION = """
+SELECT l_orderkey,
+       MIN(l_partkey % 100) AS hull_start,
+       MAX(l_partkey % 100 + l_linenumber * 7) AS hull_end,
+       COUNT(*) AS n_children
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# P6 — context padding of span windows (pad_image, common.py:267-280)
+# ---------------------------------------------------------------------------
+def q_context_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pos = (F.col("doc_id") % 40) + 10
+    start = F.greatest(pos - 8, F.lit(1))
+    end = F.least(pos + 8, F.length("text"))
+    return docs.select(
+        "doc_id",
+        F.col("text").substr(start, end - start + 1).alias("window"),
+    )
+
+
+SQL_CONTEXT_PAD = """
+SELECT doc_id,
+       substr(text, GREATEST((doc_id % 40) + 10 - 8, 1),
+              LEAST((doc_id % 40) + 10 + 8, length(text))
+              - GREATEST((doc_id % 40) + 10 - 8, 1) + 1) AS window
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3 — data-dependent direction reversal (RTL traversal, common.py:131-151)
+# ---------------------------------------------------------------------------
+def q_direction_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = F.slice(F.split(F.col("text"), " "), 1, 6)
+    ordered = F.when(F.col("lang").isin("ar", "he"), F.reverse(words)).otherwise(words)
+    return docs.select(
+        "doc_id", "lang", F.array_join(ordered, " ").alias("head_text")
+    )
+
+
+SQL_DIRECTION_REVERSE = """
+SELECT doc_id, lang,
+       array_to_string(
+         CASE WHEN lang IN ('ar','he')
+              THEN list_reverse(list_slice(str_split(text,' '), 1, 6))
+              ELSE list_slice(str_split(text,' '), 1, 6) END, ' ') AS head_text
+FROM documents
+"""
+
+
 QUERIES = {
     "agg_concat_reading_order": q_agg_concat_reading_order,
     "conf_mean": q_conf_mean,
@@ -427,6 +499,9 @@ QUERIES = {
     "conf_gate": q_conf_gate,
     "running_hull": q_running_hull,
     "q1_pricing_summary": q1_pricing_summary,
+    "span_union": q_span_union,
+    "context_pad": q_context_pad,
+    "direction_reverse": q_direction_reverse,
 }
 
 ORACLE_SQL = {
@@ -446,4 +521,7 @@ ORACLE_SQL = {
     "conf_gate": SQL_CONF_GATE,
     "running_hull": SQL_RUNNING_HULL,
     "q1_pricing_summary": SQL_Q1,
+    "span_union": SQL_SPAN_UNION,
+    "context_pad": SQL_CONTEXT_PAD,
+    "direction_reverse": SQL_DIRECTION_REVERSE,
 }

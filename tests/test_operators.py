@@ -209,3 +209,16 @@ def test_cli_list_presets(capsys):
     out = capsys.readouterr().out
     for name in ("recognize", "segment", "sparse", "strict_main"):
         assert name in out
+
+
+def test_font_style_counts(spark, pages_small):
+    """P7 analogue: article template wraps single words in <b>/<i>/<code>."""
+    from pyspark.sql import functions as F
+
+    from ocrd_tesserocr_spark.operators.fontshape import font_style_counts
+
+    rows = font_style_counts(pages_small).collect()
+    styled = [r for r in rows if r["n_bold"] + r["n_italic"] + r["n_monospace"] > 0]
+    assert len(styled) > 10  # article template emits inline styles
+    plan = font_style_counts(pages_small)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,69 @@
+"""Robustness: property-based oracle fuzzing (hypothesis) and the skew
+flattening check (SURVEY.md section 7.3.5)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocrd_tesserocr_spark.oracle import extract_document
+
+_tags = st.sampled_from(
+    ["<p>", "</p>", "<div>", "<b>", "</b>", "<br>", "<table>", "<td>", "</td>",
+     "<nav>", "</nav>", "<script>", "</script>", '<p dir="rtl">', "<hr>",
+     '<p data-join="1">', "<h1>", "</h1>", "&amp;", "&lt;"]
+)
+_chunks = st.lists(st.one_of(_tags, st.text(max_size=24)), max_size=30)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_chunks)
+def test_oracle_never_crashes_and_stays_consistent(chunks):
+    """Any tag soup: no exception, and the structural invariants hold."""
+    html = ("<html><body>" + "".join(chunks) + "</body></html>").encode("utf-8")
+    out = extract_document(html)
+    assert isinstance(out["failed"], bool)
+    if out["failed"]:
+        return
+    text = out["text"]
+    assert not text.endswith("\n") and not text.endswith("\f")
+    prev = -1
+    for b in out["blocks"]:
+        assert b["order_idx"] == prev + 1
+        prev = b["order_idx"]
+        if not b["is_main"]:
+            assert b["char_start"] == -1 and b["lines"] == []
+            continue
+        assert text[b["char_start"] : b["char_end"]] == b["text"]
+        for ln in b["lines"]:
+            assert text[ln["char_start"] : ln["char_end"]] == ln["text"]
+            assert " ".join(w["text"] for w in ln["words"]) == ln["text"]
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=200))
+def test_oracle_arbitrary_bytes_never_raise(payload):
+    out = extract_document(payload)
+    assert isinstance(out["failed"], bool)
+
+
+def test_salted_repartition_flattens_skewed_hosts(spark, pages_small):
+    """~30% of urls share one host (corpus.py Zipf skew); hashing
+    (url, salt) must still spread docs near-uniformly across partitions."""
+    from pyspark.sql import functions as F
+
+    from ocrd_tesserocr_spark.pipeline import salted_repartition
+
+    n_parts = 8
+    df = salted_repartition(pages_small, n_parts, salt=3)
+    counts = (
+        df.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in counts)
+    assert len(counts) == n_parts
+    for r in counts:
+        # no partition holds anywhere near the 30% hot-host share
+        assert r["count"] < 0.25 * total
