@@ -1,12 +1,13 @@
-"""One scaling-run worker: extract a prepared pages parquet at a given
-core count, print one JSON line with wall time and docs/sec.
+"""Scaling-run worker: run the identical extraction job at several core
+counts back-to-back in ONE process (sequential SparkSessions), printing one
+JSON line per level.
 
-Run as: python -m ocrd_tesserocr_spark.bench_scaling <cores> <pages_path>
+Back-to-back pairing matters in this sandbox: hypervisor steal varies on a
+minutes scale, so measuring N and 4N adjacently keeps the *ratio* honest
+even when absolute throughput drifts (BASELINE.md evidence protocol).  On a
+real cluster the same code runs once per executor count via spark-submit.
 
-This is the sandbox evidence protocol for the north rule's N-vs-4N
-scaling criterion (BASELINE.md): identical job, identical input, two
-parallelism levels; a real cluster would swap `local[N]` for N executors
-via spark-submit with the same code.
+Usage: python -m ocrd_tesserocr_spark.bench_scaling <cores>[,<cores>...] <pages_path>
 """
 
 from __future__ import annotations
@@ -16,40 +17,43 @@ import sys
 import time
 
 
-def main() -> None:
-    cores = int(sys.argv[1])
-    pages_path = sys.argv[2]
-
+def run_level(cores: int, pages_path: str) -> dict:
     from ocrd_tesserocr_spark.pipeline import extract
     from ocrd_tesserocr_spark.plans import EXTRACT
     from ocrd_tesserocr_spark.session import get_spark
 
-    spark = get_spark(f"local[{cores}]", shuffle_partitions=cores, app_name=f"bench{cores}")
+    spark = get_spark(
+        f"local[{cores}]", shuffle_partitions=2 * cores, app_name=f"bench{cores}"
+    )
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(pages_path)
     n_docs = pages.count()
 
-    # warmup: spin up Python workers / Arrow channels on a small slice
-    extract(spark, pages.limit(2000), EXTRACT, num_partitions=cores).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warmup: spin up Python workers / Arrow channels
+    extract(spark, pages.limit(4000), EXTRACT, num_partitions=cores).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
+    # 4 tasks/core: fine enough that last-wave stragglers cost little,
+    # coarse enough that per-task overhead stays negligible
     t0 = time.time()
-    out = extract(spark, pages, EXTRACT, num_partitions=2 * cores)
+    out = extract(spark, pages, EXTRACT, num_partitions=4 * cores)
     out.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
-
-    print(
-        json.dumps(
-            {
-                "cores": cores,
-                "docs": n_docs,
-                "wall_sec": round(wall, 3),
-                "docs_per_sec": round(n_docs / wall, 1),
-            }
-        )
-    )
     spark.stop()
+    return {
+        "cores": cores,
+        "docs": n_docs,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
+def main() -> None:
+    levels = [int(c) for c in sys.argv[1].split(",")]
+    pages_path = sys.argv[2]
+    for cores in levels:
+        print(json.dumps(run_level(cores, pages_path)), flush=True)
 
 
 if __name__ == "__main__":
