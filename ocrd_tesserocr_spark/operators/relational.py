@@ -482,6 +482,54 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# W+ — gap-based sessionization over events (the stateful-window pattern a
+# streaming deployment would run via applyInPandasWithState; here expressed
+# relationally: lag -> gap flag -> running sum = session id)
+# ---------------------------------------------------------------------------
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_flag = ev.select(
+        "user_id", "event_id", "ts", gap.alias("new_session")
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = with_flag.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(w2).alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+           AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "agg_concat_reading_order": q_agg_concat_reading_order,
     "conf_mean": q_conf_mean,
@@ -502,6 +550,7 @@ QUERIES = {
     "span_union": q_span_union,
     "context_pad": q_context_pad,
     "direction_reverse": q_direction_reverse,
+    "sessionize": q_sessionize,
 }
 
 ORACLE_SQL = {
@@ -524,4 +573,5 @@ ORACLE_SQL = {
     "span_union": SQL_SPAN_UNION,
     "context_pad": SQL_CONTEXT_PAD,
     "direction_reverse": SQL_DIRECTION_REVERSE,
+    "sessionize": SQL_SESSIONIZE,
 }

@@ -58,7 +58,10 @@ def extract(
     """
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    pages = salted_repartition(pages, num_partitions, salt)
+    # explicit pruning: the kernel reads only (url, html) — Catalyst cannot
+    # see inside mapInPandas, so without this select the shuffle would carry
+    # every pages column
+    pages = salted_repartition(pages.select("url", "html"), num_partitions, salt)
     return pages.mapInPandas(make_extract_fn(params), schema=EXTRACTED_SCHEMA)
 
 
