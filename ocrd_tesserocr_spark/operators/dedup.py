@@ -293,12 +293,99 @@ FROM j GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# D5 — the full verified near-dedup pipeline: LSH candidates -> exact
+# Jaccard verification -> keeper assignment.  This is the canonical
+# web-scale shape: the O(n^2) exact measure runs ONLY on the LSH candidate
+# set (O(docs x bands) shuffle), and the final map picks min(doc_id) as
+# keeper per duplicate pair (greedy union-by-min suffices at one hop;
+# transitive closure is an iterative job out of SQL scope and documented
+# as such).
+# ---------------------------------------------------------------------------
+JACCARD_THRESHOLD = 0.6
+
+
+def q_near_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(F.size(F.split(F.col("text"), " ")) >= 3)
+    with_h = docs.select(
+        "doc_id", F.array_distinct(_shingle_hashes()).alias("hs")
+    )
+    sigged = docs.select("doc_id", _shingle_hashes().alias("hs")).select(
+        "doc_id", *_sig_cols()
+    )
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[
+                    F.col(f"s{b * BAND_SIZE + j}").cast("string")
+                    for j in range(BAND_SIZE)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigged.select("doc_id", F.explode(keys).alias("band_key"))
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    cands = (
+        a.join(bb, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    ha = with_h.select(F.col("doc_id").alias("da"), F.col("hs").alias("hsa"))
+    hb = with_h.select(F.col("doc_id").alias("db"), F.col("hs").alias("hsb"))
+    verified = (
+        cands.join(ha, "da")
+        .join(hb, "db")
+        .withColumn("inter", F.size(F.array_intersect("hsa", "hsb")))
+        .withColumn(
+            "jac",
+            F.col("inter")
+            / (F.size("hsa") + F.size("hsb") - F.col("inter")),
+        )
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+    )
+    return verified.select(
+        F.col("da").alias("keeper_doc_id"),
+        F.col("db").alias("dup_doc_id"),
+        F.round("jac", 6).alias("jaccard"),
+    )
+
+
+SQL_NEAR_DEDUP = f"""
+WITH docs3 AS (
+  SELECT doc_id, text FROM documents WHERE len(str_split(text,' ')) >= 3),
+h AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs FROM docs3),
+hraw AS (
+  SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM docs3),
+s AS (
+  SELECT doc_id, {', '.join(_sql_sig_exprs())} FROM hraw),
+banded AS ({{bands}}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.da, c.db,
+         len(list_intersect(ha.hs, hb.hs))::DOUBLE
+           / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS jac
+  FROM cands c JOIN h ha ON c.da = ha.doc_id JOIN h hb ON c.db = hb.doc_id)
+SELECT da AS keeper_doc_id, db AS dup_doc_id, ROUND(jac, 6) AS jaccard
+FROM verified WHERE jac >= {JACCARD_THRESHOLD}
+""".replace("{bands}", _sql_band_selects())
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
     "lsh_pairs": q_lsh_pairs,
     "simhash": q_simhash,
     "ngram_jaccard_stats": q_ngram_jaccard_stats,
+    "near_dedup_verified": q_near_dedup_verified,
 }
 
 ORACLE_SQL = {
@@ -307,4 +394,5 @@ ORACLE_SQL = {
     "lsh_pairs": SQL_LSH_PAIRS,
     "simhash": SQL_SIMHASH,
     "ngram_jaccard_stats": SQL_NGRAM_JACCARD,
+    "near_dedup_verified": SQL_NEAR_DEDUP,
 }

@@ -222,3 +222,14 @@ def test_font_style_counts(spark, pages_small):
     assert len(styled) > 10  # article template emits inline styles
     plan = font_style_counts(pages_small)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_near_dedup_verified_finds_planted(spark, planted):
+    """Full pipeline: LSH candidates -> exact Jaccard verify -> keeper."""
+    from ocrd_tesserocr_spark.operators.dedup import q_near_dedup_verified
+
+    rows = q_near_dedup_verified(spark, planted).collect()
+    pairs = {(r["keeper_doc_id"], r["dup_doc_id"]): r["jaccard"] for r in rows}
+    assert pairs.get((0, 900001)) == 1.0  # exact dup
+    near = pairs.get((1, 900002))
+    assert near is not None and 0.6 <= near < 1.0  # one-word change

@@ -68,3 +68,29 @@ def test_user_view_columns(spark, pages_small, tmp_path):
     run_stage(spark, pages_small.limit(20), out_dir, num_partitions=2)
     cols = user_view(read_extracted(spark, out_dir)).columns
     assert cols == ["url", "text", "conf", "blocks", "features"]
+
+
+def test_mid_crash_rerun_is_idempotent(spark, pages_small, tmp_path):
+    """SURVEY 7.3.4: a run killed after data write but before manifest
+    commit leaves invisible files; the rerun reprocesses those urls and the
+    committed view stays duplicate-free."""
+    import shutil
+
+    out_dir = str(tmp_path / "extracted")
+    r1 = run_stage(spark, pages_small.limit(100), out_dir, num_partitions=2)
+    # simulate: snapshot 2 data fully written, then crash pre-commit
+    r2_data = os.path.join(out_dir, "snapshot_id=2")
+    from ocrd_tesserocr_spark.pipeline import extract
+
+    extract(spark, pages_small.limit(300), num_partitions=2).write.mode(
+        "overwrite"
+    ).parquet(r2_data)
+    assert read_extracted(spark, out_dir).count() == 100  # crash invisible
+
+    # restart: resume sees only committed snapshot 1, reprocesses the rest;
+    # run_stage overwrites the orphaned uncommitted directory
+    r3 = run_stage(spark, pages_small, out_dir, num_partitions=2)
+    assert r3["doc_count"] == pages_small.count() - 100
+    view = read_extracted(spark, out_dir)
+    assert view.count() == pages_small.count()
+    assert view.select("url").distinct().count() == pages_small.count()
