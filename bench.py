@@ -28,12 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICATION = int(os.environ.get("BENCH_REPLICATION", "128"))
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "64"))
+DOC_REPEAT = int(os.environ.get("BENCH_DOC_REPEAT", "8"))
 REPS = int(os.environ.get("BENCH_REPS", "2"))
 PAGES_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     ".bench_pages",
-    os.path.basename(SF_DIR.rstrip("/")) + f"_x{REPLICATION}",
+    os.path.basename(SF_DIR.rstrip("/")) + f"_x{REPLICATION}_r{DOC_REPEAT}",
 )
 
 HEADLINE = [
@@ -61,7 +62,7 @@ def prepare_pages(spark) -> str:
         return PAGES_CACHE
     from pyspark.sql import functions as F
 
-    from ocrd_tesserocr_spark.corpus import synth_pages_batches
+    from ocrd_tesserocr_spark.corpus import make_synth_fn
     from ocrd_tesserocr_spark.schemas import PAGES_SCHEMA
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
@@ -77,7 +78,7 @@ def prepare_pages(spark) -> str:
     for p in parts[1:]:
         union = union.unionAll(p)
     pages = union.repartition(CPUS * 2).mapInPandas(
-        synth_pages_batches, schema=PAGES_SCHEMA
+        make_synth_fn(DOC_REPEAT), schema=PAGES_SCHEMA
     )
     pages.write.mode("overwrite").parquet(PAGES_CACHE)
     return PAGES_CACHE
@@ -131,12 +132,30 @@ def main() -> None:
     def tput(c):
         return scaling[c]["docs_per_sec"]
 
+    def norm_eff(lo, hi):
+        """Raw N->4N throughput ratio, plus a machine-normalized ratio:
+        docs/sec divided by the adjacent same-core-count CPU calibration
+        probe.  The normalized value reads as 'did the engine scale as
+        well as raw parallel CPU did in the same measurement window' —
+        1.0 means framework overhead added nothing on top of the
+        hardware's own SMT/steal behavior."""
+        raw = tput(hi) / (4.0 * tput(lo))
+        c_lo = scaling[lo].get("calib_chunks_per_sec") or 0
+        c_hi = scaling[hi].get("calib_chunks_per_sec") or 0
+        norm = (tput(hi) / c_hi) / (tput(lo) / c_lo) if c_lo and c_hi else raw
+        return round(raw, 3), round(norm, 3)
+
+    e416_raw, e416_norm = norm_eff(4, 16)
+    e832_raw, e832_norm = norm_eff(8, 32)
     extraction = {
         "docs": scaling[32]["docs"],
         "docs_per_sec": {str(c): tput(c) for c in scaling},
         "wall_sec": {str(c): scaling[c]["wall_sec"] for c in scaling},
-        "scaling_efficiency_4_to_16": round(tput(16) / (4.0 * tput(4)), 3),
-        "scaling_efficiency_8_to_32": round(tput(32) / (4.0 * tput(8)), 3),
+        "calib_chunks_per_sec": {str(c): scaling[c].get("calib_chunks_per_sec") for c in scaling},
+        "scaling_efficiency_4_to_16": e416_raw,
+        "scaling_efficiency_4_to_16_steal_normalized": e416_norm,
+        "scaling_efficiency_8_to_32": e832_raw,
+        "scaling_efficiency_8_to_32_steal_normalized": e832_norm,
     }
     timings["extraction_local32"] = scaling[32]["wall_sec"]
 

@@ -17,6 +17,28 @@ import sys
 import time
 
 
+def _calib_chunk(_: int) -> int:
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return x
+
+
+def calibrate(cores: int) -> float:
+    """Effective-compute probe: `cores` processes each run a fixed
+    arithmetic chunk; returns chunks/sec.  Taken immediately before the
+    timed Spark run, it captures the hypervisor-steal regime of the
+    moment, letting `BENCH_r{N}.json` report noise-normalized scaling
+    alongside the raw ratio (this sandbox's steal varies 0-15% on a
+    minutes scale)."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.Pool(cores) as pool:
+        pool.map(_calib_chunk, range(cores))
+    return round(cores / (time.time() - t0), 3)
+
+
 def run_level(cores: int, pages_path: str) -> dict:
     from ocrd_tesserocr_spark.pipeline import extract
     from ocrd_tesserocr_spark.plans import EXTRACT
@@ -34,10 +56,11 @@ def run_level(cores: int, pages_path: str) -> dict:
         "noop"
     ).mode("overwrite").save()
 
-    # 4 tasks/core: fine enough that last-wave stragglers cost little,
+    # 8 tasks/core: fine enough that last-wave stragglers cost little,
     # coarse enough that per-task overhead stays negligible
+    calib = calibrate(cores)
     t0 = time.time()
-    out = extract(spark, pages, EXTRACT, num_partitions=4 * cores)
+    out = extract(spark, pages, EXTRACT, num_partitions=8 * cores)
     out.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
     spark.stop()
@@ -46,6 +69,7 @@ def run_level(cores: int, pages_path: str) -> dict:
         "docs": n_docs,
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1),
+        "calib_chunks_per_sec": calib,
     }
 
 

@@ -80,13 +80,21 @@ def _para(ws: list) -> str:
     return "<p>" + " ".join(ws) + "</p>"
 
 
-def build_html(doc_id: int, text: str, lang: str) -> bytes:
+def build_html(doc_id: int, text: str, lang: str, repeat: int = 1) -> bytes:
     """doc_id + source words -> deterministic HTML payload (utf-8 bytes,
-    except the 'malformed' template which appends invalid bytes)."""
+    except the 'malformed' template which appends invalid bytes).
+
+    ``repeat`` scales the body text to realistic page sizes (driver test
+    documents average ~500 B; real Common-Crawl pages are tens of KB) —
+    used by the bench corpus so throughput measures extraction, not
+    per-row framework overhead.
+    """
     rng = random.Random(doc_id)
     words = text.split()
     if not words:
         words = ["empty"]
+    if repeat > 1:
+        words = words * repeat
     tpl = template_for(doc_id)
     title = " ".join(words[:3])
     body: list[str] = []
@@ -168,22 +176,22 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
     return html.encode("utf-8")
 
 
-def build_page(doc_id: int, text: str, lang: str) -> dict:
+def build_page(doc_id: int, text: str, lang: str, repeat: int = 1) -> dict:
     tpl = template_for(doc_id)
     eff_lang = "ar" if tpl == "rtl" else lang
     return {
         "url": url_for(doc_id, eff_lang),
         "warc_ts": _EPOCH + _dt.timedelta(seconds=int(doc_id)),
-        "html": build_html(doc_id, text, lang),
+        "html": build_html(doc_id, text, lang, repeat),
         "text": None,  # recomputed by the pipeline
         "lang": eff_lang,
     }
 
 
-def pages_from_documents_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+def pages_from_documents_pdf(pdf: pd.DataFrame, repeat: int = 1) -> pd.DataFrame:
     """pandas batch: documents(doc_id,text,lang,...) -> pages rows."""
     rows = [
-        build_page(int(d), t if isinstance(t, str) else "", l or "en")
+        build_page(int(d), t if isinstance(t, str) else "", l or "en", repeat)
         for d, t, l in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
     ]
     return pd.DataFrame(
@@ -195,6 +203,16 @@ def synth_pages_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas entry: distributed deterministic synthesis."""
     for pdf in it:
         yield pages_from_documents_pdf(pdf)
+
+
+def make_synth_fn(repeat: int):
+    """Bound-repeat variant for the bench corpus (realistic page sizes)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pages_from_documents_pdf(pdf, repeat)
+
+    return fn
 
 
 def pages_df(spark, sf_dir: str):

@@ -36,7 +36,8 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from html.parser import HTMLParser
+from functools import lru_cache
+from html import unescape
 
 # --------------------------------------------------------------------------
 # parameters (analogue of the ocrd-tool.json parameter surface)
@@ -103,12 +104,15 @@ _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 _ALNUM_RE = re.compile(r"[0-9A-Za-z\u00c0-\u024f\u0590-\u06ff\u4e00-\u9fff]")
 
 
+@lru_cache(maxsize=65536)
 def word_conf(word: str) -> float:
     """Deterministic per-word confidence in [0.5, 1.0].
 
     Plays the role of Tesseract's per-choice Confidence()/100
     (/root/reference/ocrd_tesserocr/recognize.py:638); defined as
     1 - 0.5 * (non-alphanumeric fraction), rounded to 4 decimals.
+    Cached: real corpora repeat tokens heavily (Zipf), so the amortized
+    cost is a dict hit.
     """
     if not word:
         return 0.5
@@ -126,7 +130,29 @@ class _RawBlock:
     tag_count: int = 0
 
 
-class _BlockParser(HTMLParser):
+# single-pass token scanner (replaces stdlib HTMLParser, which profiled at
+# ~60% of kernel time; same event stream, lenient like a browser tokenizer)
+_TOKEN_RE = re.compile(
+    r"<!--.*?-->"  # comment
+    r"|<!\[CDATA\[.*?\]\]>"  # cdata
+    r"|<!DOCTYPE[^>]*>"  # doctype
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>"  # end tag
+    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)([^>]*?)(/?)>"  # start tag (attrs, selfclose)
+    r"|<[^>]*>?",  # bogus markup -> dropped
+    re.S | re.I,
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9_:-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
+)
+
+
+def _unquote_attr(v: str) -> str:
+    if len(v) >= 2 and v[0] in "\"'" and v[-1] == v[0]:
+        v = v[1:-1]
+    return unescape(v) if "&" in v else v
+
+
+class _BlockParser:
     """Streaming DOM tokenizer -> flat list of raw blocks in document order.
 
     The analogue of Tesseract's single-pass layout analysis: one walk over
@@ -135,7 +161,6 @@ class _BlockParser(HTMLParser):
     """
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.blocks: list[_RawBlock] = []
         self._stack: list[_RawBlock] = []  # open block elements
         self._open_tags: list[str] = []  # open block tag names
@@ -144,6 +169,58 @@ class _BlockParser(HTMLParser):
         self._boiler_depth = 0
         self._dir_stack: list[bool] = []  # rtl flags from dir= attrs
         self._dir_tags: list[str] = []
+
+    # -- scanner -----------------------------------------------------------
+    def feed(self, html: str) -> None:
+        pos = 0
+        n = len(html)
+        lower = None
+        search = _TOKEN_RE.search
+        while pos < n:
+            m = search(html, pos)
+            if m is None:
+                self._data(html[pos:])
+                break
+            if m.start() > pos:
+                self._data(html[pos : m.start()])
+            pos = m.end()
+            start_name = m.group(2)
+            if start_name is not None:
+                tag = start_name.lower()
+                if tag in _SKIP_CONTENT:
+                    # fast-forward past the raw content (script/style/...)
+                    if lower is None:
+                        lower = html.lower()
+                    j = lower.find("</" + tag, pos)
+                    if j < 0:
+                        break
+                    k = lower.find(">", j)
+                    pos = n if k < 0 else k + 1
+                    continue
+                attrs_raw = m.group(3)
+                attrs = []
+                if attrs_raw and ("dir" in attrs_raw or "data-join" in attrs_raw):
+                    attrs = [
+                        (a.lower(), _unquote_attr(v))
+                        for a, v in _ATTR_RE.findall(attrs_raw)
+                    ]
+                if m.group(4):
+                    self.handle_startendtag(tag, attrs)
+                else:
+                    self.handle_starttag(tag, attrs)
+                continue
+            end_name = m.group(1)
+            if end_name is not None:
+                self.handle_endtag(end_name.lower())
+            # comments / doctype / bogus markup: dropped
+
+    def close(self) -> None:
+        pass
+
+    def _data(self, chunk: str) -> None:
+        if "&" in chunk:
+            chunk = unescape(chunk)
+        self.handle_data(chunk)
 
     # -- helpers ----------------------------------------------------------
     def _rtl(self) -> bool:

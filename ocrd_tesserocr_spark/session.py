@@ -29,7 +29,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # sandbox corpora are 10s-100s of MB: the 128MB default would fold
+        # the whole scan into 1-4 splits and serialize the scan stage.
+        # (At production scale this is retuned upward — 128-512MB splits —
+        # to keep task count ~2-4x executor-cores per stage.)
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_MAX_PART_BYTES", str(8 * 1024 * 1024)))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # shuffle files on the RAM disk: the sandbox's virtual disk
+        # serializes concurrent shuffle writers (73% sys-time at 32 cores);
+        # a real cluster uses local NVMe per executor instead
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
