@@ -233,3 +233,21 @@ def test_near_dedup_verified_finds_planted(spark, planted):
     assert pairs.get((0, 900001)) == 1.0  # exact dup
     near = pairs.get((1, 900002))
     assert near is not None and 0.6 <= near < 1.0  # one-word change
+
+
+def test_cli_extract_end_to_end(tmp_path, pages_small, spark):
+    """S6: the spark-submit entry runs a stage and reports counts.
+    (Reuses the session via getOrCreate — the CLI builds the same way.)"""
+    import json
+
+    from ocrd_tesserocr_spark.cli import main
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "out")
+    pages_small.limit(50).write.parquet(src)
+    rc = main(["extract", "--preset", "extract", "--input", src,
+               "--output", out, "--partitions", "2"])
+    assert rc == 0
+    from ocrd_tesserocr_spark.pipeline import read_extracted, read_manifest
+
+    assert read_manifest(out)[0]["doc_count"] == 50
