@@ -49,8 +49,12 @@ def main(argv: list[str] | None = None) -> int:
             print(name, json.dumps(params.__dict__, default=list))
         return 0
 
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
 
+    # embedding-friendly: only stop a session this invocation created
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(args.master)
     try:
         if args.cmd == "extract":
@@ -76,7 +80,8 @@ def main(argv: list[str] | None = None) -> int:
             read_lineage(spark, args.output).show(100, truncate=False)
             return 0
     finally:
-        spark.stop()
+        if not preexisting:
+            spark.stop()
     return 1
 
 
