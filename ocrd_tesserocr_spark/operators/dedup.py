@@ -379,6 +379,75 @@ FROM verified WHERE jac >= {JACCARD_THRESHOLD}
 """.replace("{bands}", _sql_band_selects())
 
 
+# ---------------------------------------------------------------------------
+# D6 — duplicate clusters: connected components over the LSH pair graph.
+# The one genuinely ITERATIVE algorithm in the inventory: min-label
+# propagation to fixpoint (driver loop over joins; at production scale each
+# iteration is checkpointed and the loop runs O(graph diameter) times,
+# which for near-dup clusters is tiny).  Oracle: DuckDB recursive CTE.
+# ---------------------------------------------------------------------------
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """nodes(doc_id), edges(doc_a, doc_b) -> (doc_id, component_id) where
+    component_id = min doc_id reachable (undirected)."""
+    adj = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = nodes.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
+    for _ in range(max_iter):
+        nbr = (
+            adj.join(labels, adj.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("comp"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per iter
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component_id"))
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select("doc_id")
+    edges = q_lsh_pairs(spark, sf_dir)
+    return connected_components(nodes, edges)
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE h AS (
+  SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs
+  FROM documents WHERE len(str_split(text,' ')) >= 3),
+s AS (
+  SELECT doc_id, {', '.join(_sql_sig_exprs())} FROM h),
+banded AS ({_sql_band_selects()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
@@ -386,6 +455,7 @@ QUERIES = {
     "simhash": q_simhash,
     "ngram_jaccard_stats": q_ngram_jaccard_stats,
     "near_dedup_verified": q_near_dedup_verified,
+    "dedup_components": q_dedup_components,
 }
 
 ORACLE_SQL = {
@@ -395,4 +465,5 @@ ORACLE_SQL = {
     "simhash": SQL_SIMHASH,
     "ngram_jaccard_stats": SQL_NGRAM_JACCARD,
     "near_dedup_verified": SQL_NEAR_DEDUP,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
 }

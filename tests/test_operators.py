@@ -251,3 +251,13 @@ def test_cli_extract_end_to_end(tmp_path, pages_small, spark):
     from ocrd_tesserocr_spark.pipeline import read_extracted, read_manifest
 
     assert read_manifest(out)[0]["doc_count"] == 50
+
+
+def test_connected_components_chain(spark):
+    """Planted chain A-B, B-C, isolated D -> {A,B,C} one component, D alone."""
+    from ocrd_tesserocr_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], ["doc_id"])
+    edges = spark.createDataFrame([(2, 3), (1, 2)], ["doc_a", "doc_b"])
+    comp = {r["doc_id"]: r["component_id"] for r in connected_components(nodes, edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4}
