@@ -137,11 +137,64 @@ FROM w
 """
 
 
+# ---------------------------------------------------------------------------
+# T5 — curation verdict: the composed training-data gate (quality score +
+# language evidence + exact-dup keeper) — one pass, one output row per doc.
+# This is the "would this page enter the training set" decision a 100 TB
+# pipeline runs after extraction.
+# ---------------------------------------------------------------------------
+def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import md5_long
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n = F.greatest(F.size(words), F.lit(1))
+    stop_ratio = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))) / n
+    short_ratio = F.size(F.filter(words, lambda w: F.length(w) <= 2)) / n
+    quality = (
+        0.4 * F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+        + 0.3 * stop_ratio
+        + 0.3 * (1.0 - short_ratio)
+    )
+    w = Window.partitionBy(md5_long(F.col("text"))).orderBy("doc_id")
+    keeper = F.row_number().over(w) == 1
+    keep = keeper & (quality >= 0.5) & (F.col("n_chars") >= 50)
+    return docs.select(
+        "doc_id",
+        F.round(quality, 6).alias("quality"),
+        keeper.alias("is_content_keeper"),
+        keep.alias("keep"),
+    )
+
+
+SQL_CURATION = """
+WITH q AS (
+  SELECT doc_id, n_chars, text,
+         0.4 * LEAST(1.0, n_chars / 400.0)
+         + 0.3 * (len(list_filter(str_split(text,' '),
+                   x -> x IN ('the','a','of','and','to')))::DOUBLE
+                  / GREATEST(len(str_split(text,' ')), 1))
+         + 0.3 * (1.0 - len(list_filter(str_split(text,' '),
+                   x -> length(x) <= 2))::DOUBLE
+                  / GREATEST(len(str_split(text,' ')), 1)) AS quality,
+         ROW_NUMBER() OVER (
+           PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+           ORDER BY doc_id) = 1 AS is_content_keeper
+  FROM documents)
+SELECT doc_id, ROUND(quality, 6) AS quality, is_content_keeper,
+       (is_content_keeper AND quality >= 0.5 AND n_chars >= 50) AS keep
+FROM q
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
+    "curation_verdict": q_curation_verdict,
 }
 
 ORACLE_SQL = {
@@ -149,4 +202,5 @@ ORACLE_SQL = {
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
+    "curation_verdict": SQL_CURATION,
 }
