@@ -30,7 +30,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATION = int(os.environ.get("BENCH_REPLICATION", "64"))
 DOC_REPEAT = int(os.environ.get("BENCH_DOC_REPEAT", "8"))
-REPS = int(os.environ.get("BENCH_REPS", "2"))
+REPS = int(os.environ.get("BENCH_REPS", "1"))
 PAGES_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     ".bench_pages",
