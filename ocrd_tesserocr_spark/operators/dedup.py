@@ -287,7 +287,7 @@ j AS (
   SELECT i.lang, i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) AS jac
   FROM inter i JOIN sizes sa ON i.da = sa.doc_id JOIN sizes sb ON i.db = sb.doc_id)
 SELECT lang, COUNT(*) AS n_candidate_pairs,
-       count_if(jac >= 0.5) AS n_dup_pairs,
+       count_if(jac >= 0.5)::BIGINT AS n_dup_pairs,
        ROUND(MAX(jac), 6) AS max_jaccard
 FROM j GROUP BY lang
 """

@@ -327,7 +327,8 @@ def q_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LINEAGE_COUNTS = """
-SELECT source, COUNT(*) AS doc_count, count_if(n_chars < 150) AS failure_count
+SELECT source, COUNT(*) AS doc_count,
+       count_if(n_chars < 150)::BIGINT AS failure_count
 FROM documents GROUP BY source
 """
 
@@ -445,17 +446,22 @@ def q_context_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = (F.col("doc_id") % 40) + 10
     start = F.greatest(pos - 8, F.lit(1))
     end = F.least(pos + 8, F.length("text"))
+    # clamp: end-start+1 goes negative on texts shorter than the window
+    # start; Spark substr returns '' but DuckDB diverges, so both sides
+    # clamp the length to >= 0 explicitly
+    length = F.greatest(end - start + 1, F.lit(0))
     return docs.select(
         "doc_id",
-        F.col("text").substr(start, end - start + 1).alias("window"),
+        F.col("text").substr(start, length).alias("window"),
     )
 
 
 SQL_CONTEXT_PAD = """
 SELECT doc_id,
        substr(text, GREATEST((doc_id % 40) + 10 - 8, 1),
-              LEAST((doc_id % 40) + 10 + 8, length(text))
-              - GREATEST((doc_id % 40) + 10 - 8, 1) + 1) AS window
+              GREATEST(
+                LEAST((doc_id % 40) + 10 + 8, length(text))
+                - GREATEST((doc_id % 40) + 10 - 8, 1) + 1, 0)) AS window
 FROM documents
 """
 
@@ -521,9 +527,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
   SELECT user_id, event_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_idx
+         (SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )::BIGINT AS session_idx
   FROM flagged)
 SELECT user_id, session_idx, COUNT(*) AS n_events
 FROM sess GROUP BY user_id, session_idx

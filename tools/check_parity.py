@@ -58,6 +58,16 @@ def main() -> int:
         status = "OK"
         if list(a.columns) != list(b.columns):
             status = f"SCHEMA MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+        elif [d.kind for d in a.dtypes] != [d.kind for d in b.dtypes]:
+            # the driver hashes byte representations: an int64 Spark column vs
+            # a float64/object DuckDB column is a hash mismatch even at exact
+            # value parity (e.g. HUGEINT count_if without ::BIGINT)
+            status = (
+                "DTYPE MISMATCH spark="
+                + str({c: str(d) for c, d in zip(a.columns, a.dtypes)})
+                + " duck="
+                + str({c: str(d) for c, d in zip(b.columns, b.dtypes)})
+            )
         elif len(a) != len(b):
             status = f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
         else:
