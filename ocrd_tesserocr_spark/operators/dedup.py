@@ -16,7 +16,7 @@ shingle clusters).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import HASH_P, md5_long, md5_mod, sql_md5_long, sql_md5_mod
@@ -139,16 +139,23 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
-# D2b — LSH band join: candidate near-duplicate pairs
+# D2b — LSH band bucketing: candidate near-duplicate pairs
 # (band bucketing makes the shuffle O(docs * bands), never O(docs^2))
+#
+# Physical shape: ONE pass computes the signatures (no alias self-join, which
+# would plan the md5-heavy signature DAG twice), then groupBy(band_key)
+# collects each bucket and generates in-bucket pairs with higher-order array
+# functions — a single hash shuffle of (band_key, doc_id) pairs.  Hot bands
+# (boilerplate-heavy shingle clusters: at web scale one band bucket can hold
+# 10^6 docs, a 10^12-pair explosion) are capped at HOT_BAND_CAP docs and
+# skipped; near-duplicates still pair through their other, more selective
+# bands, so recall degrades gracefully instead of the job dying.
 # ---------------------------------------------------------------------------
-def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).where(F.size(F.split(F.col("text"), " ")) >= 3)
-    with_h = docs.select("doc_id", _shingle_hashes().alias("hs"))
-    sigged = with_h.select("doc_id", *_sig_cols())
-    # one projection computes all band keys, then explodes: the minhash
-    # DAG runs once per row, not once per band
-    keys = F.array(
+HOT_BAND_CAP = 64
+
+
+def _band_keys_col() -> F.Column:
+    return F.array(
         *[
             F.concat_ws(
                 "-",
@@ -161,15 +168,52 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sigged.select("doc_id", F.explode(keys).alias("band_key"))
-    a = banded.alias("a")
-    bb = banded.alias("b")
+
+
+def _pairs_fn(ids):
+    # all ordered pairs within one (sorted) bucket: element i pairs with
+    # every later element — slice is 1-based, so the tail starts at i+2
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, hs_df: DataFrame | None = None) -> DataFrame:
+    """docs(doc_id, text) -> distinct candidate pairs (doc_a < doc_b).
+
+    Shared by q_lsh_pairs / q_near_dedup_verified / q_dedup_components so
+    the signature DAG exists exactly once in every consumer's plan.
+
+    ``hs_df``: optional precomputed (doc_id, hs) shingle-hash table — a
+    caller that also needs the shingle sets for exact verification passes
+    its (persisted) copy so the md5-heavy shingle map runs once, not per
+    branch.  MinHash is invariant under duplicate elements, so distinct or
+    raw shingle arrays give identical signatures."""
+    if hs_df is None:
+        docs = docs.where(F.size(F.split(F.col("text"), " ")) >= 3)
+        hs_df = docs.select("doc_id", _shingle_hashes().alias("hs"))
+    sigged = hs_df.select("doc_id", *_sig_cols())
+    banded = sigged.select("doc_id", F.explode(_band_keys_col()).alias("band_key"))
+    buckets = (
+        banded.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= HOT_BAND_CAP))
+    )
     return (
-        a.join(bb, "band_key")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(_pairs_fn(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
 def _sql_band_selects() -> str:
@@ -182,15 +226,22 @@ def _sql_band_selects() -> str:
     return " UNION ALL ".join(parts)
 
 
+# the oracle applies the identical hot-band cap via a window count
+_SQL_BANDED_CAPPED = f"""
+  SELECT doc_id, band_key FROM banded
+  QUALIFY COUNT(*) OVER (PARTITION BY band_key) BETWEEN 2 AND {HOT_BAND_CAP}
+"""
+
 SQL_LSH_PAIRS = f"""
 WITH h AS (
   SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs
   FROM documents WHERE len(str_split(text,' ')) >= 3),
 s AS (
   SELECT doc_id, {', '.join(_sql_sig_exprs())} FROM h),
-banded AS ({_sql_band_selects()})
+banded AS ({_sql_band_selects()}),
+capped AS ({_SQL_BANDED_CAPPED})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b USING (band_key)
+FROM capped a JOIN capped b USING (band_key)
 WHERE a.doc_id < b.doc_id
 """
 
@@ -239,12 +290,28 @@ SELECT doc_id, ({_sql_simhash_expr()})::BIGINT AS simhash FROM h
 # ---------------------------------------------------------------------------
 # D4 — n-gram Jaccard near-dup statistics (exact verification layer that
 # sits behind LSH candidate generation at scale)
+#
+# Scale guard: shingles with document frequency > SHINGLE_DF_CAP are dropped
+# BEFORE the pair join.  Without it, one stopword-ish shingle shared by 10^6
+# docs is a 10^12-pair explosion inside a single join key; with it, per-key
+# fanout is bounded at DF_CAP^2 and the Jaccard is computed over the capped
+# shingle universe on both engines (sizes are counted after the cap, so
+# intersection and union stay consistent).  The df filter is a window count
+# over the same key the join shuffles on — one extra pass, no extra shuffle
+# pattern.
 # ---------------------------------------------------------------------------
+SHINGLE_DF_CAP = 64
+
+
 def q_ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     exploded = (
         docs.select("doc_id", "lang", F.explode(F.array_distinct(_shingle_hashes())).alias("h"))
     )
+    wdf = Window.partitionBy("h")
+    exploded = exploded.withColumn("df", F.count(F.lit(1)).over(wdf)).where(
+        F.col("df") <= SHINGLE_DF_CAP
+    ).drop("df")
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -260,9 +327,11 @@ def q_ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    # sizes joins: let AQE pick broadcast-vs-shuffle from runtime stats (at
+    # 10^12 docs the per-doc size table is NOT broadcastable)
     j = (
-        inter.join(F.broadcast(sa), "da")
-        .join(F.broadcast(sb), "db")
+        inter.join(sa, "da")
+        .join(sb, "db")
         .withColumn("jac", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
     )
     return j.groupBy("lang").agg(
@@ -275,8 +344,11 @@ def q_ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_JACCARD = f"""
 WITH h AS (
   SELECT doc_id, lang, list_distinct({_SQL_SHINGLE_HASHES}) AS hs FROM documents),
-e AS (
+e0 AS (
   SELECT doc_id, lang, unnest(hs) AS h FROM h),
+e AS (
+  SELECT doc_id, lang, h FROM e0
+  QUALIFY COUNT(*) OVER (PARTITION BY h) <= {SHINGLE_DF_CAP}),
 sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id),
 inter AS (
@@ -307,33 +379,14 @@ JACCARD_THRESHOLD = 0.6
 
 def q_near_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).where(F.size(F.split(F.col("text"), " ")) >= 3)
+    # persist the shingle table: it feeds the LSH signature branch AND both
+    # verification sides — at cluster scale this is the standard
+    # MEMORY_AND_DISK checkpoint of the shingle pass
     with_h = docs.select(
         "doc_id", F.array_distinct(_shingle_hashes()).alias("hs")
-    )
-    sigged = docs.select("doc_id", _shingle_hashes().alias("hs")).select(
-        "doc_id", *_sig_cols()
-    )
-    keys = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                F.lit(str(b)),
-                *[
-                    F.col(f"s{b * BAND_SIZE + j}").cast("string")
-                    for j in range(BAND_SIZE)
-                ],
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = sigged.select("doc_id", F.explode(keys).alias("band_key"))
-    a = banded.alias("a")
-    bb = banded.alias("b")
-    cands = (
-        a.join(bb, "band_key")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
+    ).persist()
+    cands = lsh_candidate_pairs(docs, hs_df=with_h).select(
+        F.col("doc_a").alias("da"), F.col("doc_b").alias("db")
     )
     ha = with_h.select(F.col("doc_id").alias("da"), F.col("hs").alias("hsa"))
     hb = with_h.select(F.col("doc_id").alias("db"), F.col("hs").alias("hsb"))
@@ -365,9 +418,10 @@ hraw AS (
 s AS (
   SELECT doc_id, {', '.join(_sql_sig_exprs())} FROM hraw),
 banded AS ({{bands}}),
+capped AS ({_SQL_BANDED_CAPPED}),
 cands AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM banded a JOIN banded b USING (band_key)
+  FROM capped a JOIN capped b USING (band_key)
   WHERE a.doc_id < b.doc_id),
 verified AS (
   SELECT c.da, c.db,
@@ -386,13 +440,19 @@ FROM verified WHERE jac >= {JACCARD_THRESHOLD}
 # iteration is checkpointed and the loop runs O(graph diameter) times,
 # which for near-dup clusters is tiny).  Oracle: DuckDB recursive CTE.
 # ---------------------------------------------------------------------------
-def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 200) -> DataFrame:
     """nodes(doc_id), edges(doc_a, doc_b) -> (doc_id, component_id) where
-    component_id = min doc_id reachable (undirected)."""
+    component_id = min doc_id reachable (undirected).
+
+    Runs min-label propagation to FIXPOINT (the oracle is the true
+    transitive closure); ``max_iter`` is a safety bound well above any
+    plausible near-dup-cluster diameter, and exceeding it raises rather
+    than silently returning unconverged labels."""
     adj = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     labels = nodes.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
+    converged = False
     for _ in range(max_iter):
         nbr = (
             adj.join(labels, adj.dst == labels.node)
@@ -415,7 +475,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
         )
         labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per iter
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} iterations; "
+            "graph diameter exceeds the safety bound"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component_id"))
 
 
@@ -433,9 +499,10 @@ WITH RECURSIVE h AS (
 s AS (
   SELECT doc_id, {', '.join(_sql_sig_exprs())} FROM h),
 banded AS ({_sql_band_selects()}),
+capped AS ({_SQL_BANDED_CAPPED}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b USING (band_key)
+  FROM capped a JOIN capped b USING (band_key)
   WHERE a.doc_id < b.doc_id),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
