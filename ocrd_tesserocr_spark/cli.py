@@ -53,8 +53,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from .session import get_spark
 
-    # embedding-friendly: only stop a session this invocation created
-    preexisting = SparkSession.getActiveSession() is not None
+    # embedding-friendly: only stop a session this invocation created.
+    # getActiveSession() is thread-local, so also check the process-wide
+    # default session: an embedder whose session lives on another thread
+    # must not have it stopped out from under it when getOrCreate reuses it.
+    preexisting = (
+        SparkSession.getActiveSession() is not None
+        or getattr(SparkSession, "_instantiatedSession", None) is not None
+    )
     spark = get_spark(args.master)
     try:
         if args.cmd == "extract":

@@ -315,15 +315,18 @@ class _BlockParser:
             return
         if self._skip_depth:
             return
+        # dir-stack pop must precede the boilerplate/<a> early returns:
+        # a dir attribute on <nav>/<header>/<footer>/<aside>/<a> is pushed
+        # on open and would otherwise leak RTL reversal past its close
+        if self._dir_tags and self._dir_tags[-1] == tag:
+            self._dir_tags.pop()
+            self._dir_stack.pop()
         if tag in _BOILERPLATE:
             self._boiler_depth = max(0, self._boiler_depth - 1)
             return
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
             return
-        if self._dir_tags and self._dir_tags[-1] == tag:
-            self._dir_tags.pop()
-            self._dir_stack.pop()
         if tag in _BLOCK_KIND:
             # close innermost matching open block (lenient like the parser)
             self._close_implicit()

@@ -150,7 +150,8 @@ def run_stage(
 
     if resume and committed_snapshot_ids(out_dir):
         done = read_extracted(spark, out_dir).select("url")
-        pages = pages.join(F.broadcast(done) if _small(done) else done, "url", "left_anti")
+        small = _small_committed(out_dir)
+        pages = pages.join(F.broadcast(done) if small else done, "url", "left_anti")
 
     t0 = time.time()
     extracted = extract(spark, pages, params, num_partitions)
@@ -196,8 +197,15 @@ def user_view(extracted: DataFrame) -> DataFrame:
     return extracted.select(*EXTRACTED_USER_COLUMNS)
 
 
-def _small(df: DataFrame, threshold_rows: int = 5_000_000) -> bool:
-    """Heuristic broadcast gate for the resume anti-join; at 10^12-doc
-    scale the committed-url set is huge, so the anti-join falls back to a
-    shuffle join (AQE picks the strategy from runtime stats)."""
-    return False  # conservative: let AQE decide; broadcast() only when known-small
+BROADCAST_RESUME_THRESHOLD = 4_000_000
+
+
+def _small_committed(out_dir: str, threshold_rows: int = BROADCAST_RESUME_THRESHOLD) -> bool:
+    """Broadcast gate for the resume anti-join, decided from the manifest's
+    own doc_count accounting (no extra Spark action): under the threshold
+    the committed-url set broadcasts (~50 B/url -> well under the 8 GB
+    broadcast ceiling at 4M rows); at 10^12-doc scale it is huge and the
+    anti-join falls back to a shuffle join, where AQE picks the strategy
+    from runtime stats."""
+    total = sum(e.get("doc_count", 0) for e in read_manifest(out_dir))
+    return total <= threshold_rows

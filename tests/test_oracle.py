@@ -86,6 +86,20 @@ def test_rtl_inherited_from_ancestor():
     assert out["text"] == "delta gamma beta alpha"
 
 
+def test_dir_on_boilerplate_does_not_leak():
+    # dir= on a boilerplate container (or <a>) must pop with its close tag;
+    # a leak would RTL-reverse every subsequent block in the document
+    out = extract_document(
+        _doc('<nav dir="rtl">menu items here</nav><p>alpha beta gamma delta</p>')
+    )
+    assert out["text"] == "alpha beta gamma delta"
+    out = extract_document(
+        _doc('<p><a dir="rtl" href="/">x</a> link trailer words here</p>'
+             "<p>alpha beta gamma delta</p>")
+    )
+    assert out["text"].endswith("alpha beta gamma delta")
+
+
 def test_boilerplate_containers_are_noise():
     out = extract_document(
         _doc("<nav><a href='/'>Home</a> <a href='/a'>About</a></nav><p>real main content text here</p>")

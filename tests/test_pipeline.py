@@ -94,3 +94,51 @@ def test_mid_crash_rerun_is_idempotent(spark, pages_small, tmp_path):
     view = read_extracted(spark, out_dir)
     assert view.count() == pages_small.count()
     assert view.select("url").distinct().count() == pages_small.count()
+
+
+def test_resume_broadcast_gate(spark, pages_small, tmp_path):
+    """The resume anti-join broadcasts the committed-url set when the
+    manifest's doc_count is under the threshold and shuffles above it."""
+    from ocrd_tesserocr_spark.pipeline import (
+        _small_committed,
+        extract,
+        read_extracted,
+    )
+    import json as _json
+
+    out_dir = str(tmp_path / "extracted")
+    run_stage(spark, pages_small.limit(50), out_dir, num_partitions=2)
+    assert _small_committed(out_dir)  # 50 docs committed -> broadcast
+
+    done = read_extracted(spark, out_dir).select("url")
+    plan = pages_small.join(
+        F.broadcast(done), "url", "left_anti"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+
+    # fake a huge committed history: the gate must flip to shuffle
+    manifest = os.path.join(out_dir, "_snapshots.json")
+    entries = _json.load(open(manifest))
+    entries.append({"snapshot_id": 99, "stage": "x", "doc_count": 10_000_000,
+                    "failure_count": 0, "wall_ms": 0})
+    with open(manifest, "w") as f:
+        _json.dump(entries, f)
+    assert not _small_committed(out_dir)
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """A chain graph whose diameter exceeds max_iter must raise, not
+    silently return unconverged labels."""
+    import pytest
+
+    from ocrd_tesserocr_spark.operators.dedup import connected_components
+
+    n = 8
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
+    out = connected_components(nodes, edges, max_iter=20)
+    assert out.where(F.col("component_id") != 0).count() == 0
