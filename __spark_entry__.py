@@ -79,7 +79,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocrd_tesserocr_spark.corpus import materialize_pages
     from ocrd_tesserocr_spark.operators import all_queries
 
+    # oracles for font_style/media_meta read the deterministic pages cache;
+    # materialize it (pure pyarrow, no Spark) so the SQL runs regardless of
+    # whether the Spark query ran first
+    try:
+        materialize_pages("/root/testdata/sf0.01")
+    except Exception:
+        pass  # cache is best-effort; the Spark query side also materializes
     _, o = all_queries()
     return dict(o)

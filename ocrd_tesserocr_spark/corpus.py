@@ -226,6 +226,49 @@ def pages_df(spark, sf_dir: str):
     return docs.mapInPandas(synth_pages_batches, schema=PAGES_SCHEMA)
 
 
+def materialize_pages(sf_dir: str) -> str:
+    """Write the deterministic pages corpus for ``sf_dir`` to a cache
+    parquet (pure pyarrow — no SparkSession needed, so the DuckDB oracle
+    side can trigger it too) and return the path.
+
+    Adds ``html_str`` (utf-8 decode with replacement) beside the raw
+    binary payload: DuckDB cannot regexp over BLOB, so string-domain
+    oracles (font_style) read this column while binary-domain oracles
+    (media_meta) read ``hex(html)``.  Test/oracle infrastructure only —
+    the scale-path operators take a live pages DataFrame.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(
+        repo_root, ".cache", "pages_%s.parquet" % os.path.basename(sf_dir.rstrip("/"))
+    )
+    if os.path.exists(out):
+        return out
+    pdf = pages_from_documents_pdf(
+        pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ).to_pandas()
+    )
+    pdf["html_str"] = [
+        (bytes(b).decode("utf-8", errors="replace") if b is not None else None)
+        for b in pdf["html"]
+    ]
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        tmp,
+        coerce_timestamps="us",  # Spark cannot read TIMESTAMP(NANOS)
+        allow_truncated_timestamps=True,
+    )
+    os.replace(tmp, out)
+    return out
+
+
 def pages_records(sf_dir: str) -> list:
     """Pure-Python variant for oracle tests: same rows, no Spark."""
     import pyarrow.parquet as pq

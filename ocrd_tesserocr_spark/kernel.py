@@ -97,6 +97,17 @@ def _block_tuple(b: dict) -> tuple:
                         w["char_end"],
                         w["text"],
                         w["conf"],
+                        [
+                            (
+                                g["glyph_id"],
+                                g["char_start"],
+                                g["char_end"],
+                                g["text"],
+                                g["conf"],
+                                [(c["text"], c["conf"]) for c in g["choices"]],
+                            )
+                            for g in w["glyphs"]
+                        ],
                     )
                     for w in ln["words"]
                 ],

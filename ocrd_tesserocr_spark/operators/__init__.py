@@ -9,11 +9,11 @@ from __future__ import annotations
 
 
 def all_queries():
-    from . import dedup, fontshape, multimodal, relational, similarity, text
+    from . import dedup, fontshape, glyphs, multimodal, relational, similarity, text
 
     q = {}
     o = {}
-    for mod in (relational, text, dedup, similarity, multimodal, fontshape):
+    for mod in (relational, text, dedup, similarity, multimodal, fontshape, glyphs):
         q.update(mod.QUERIES)
         o.update(mod.ORACLE_SQL)
     return q, o

@@ -6,31 +6,60 @@ via a legacy OCR model.  The web analogue reads the style straight from the
 inline tags (``<b>/<i>/<code>``) — a pure JVM-side regexp pass over the
 payload, no Python at all (whole-stage codegen keeps it in the scan
 pipeline).
+
+The driver-facing query runs over the materialized deterministic pages
+corpus (corpus.materialize_pages) so the DuckDB oracle can regexp the very
+same strings; at cluster scale the same ``font_style_counts`` runs on the
+live pages table.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_PATTERNS = [
+    ("n_bold", r"<b>[^<]*</b>"),
+    ("n_italic", r"<i>[^<]*</i>"),
+    ("n_monospace", r"<code>[^<]*</code>"),
+]
 
-def font_style_counts(pages: DataFrame) -> DataFrame:
-    s = F.col("html").cast("string")  # utf-8; invalid bytes -> U+FFFD, no abort
+
+def font_style_counts(pages: DataFrame, text_col=None) -> DataFrame:
+    s = text_col if text_col is not None else F.col("html").cast("string")
     return pages.select(
         "url",
-        F.size(F.regexp_extract_all(s, F.lit(r"<b>[^<]*</b>"), 0)).alias("n_bold"),
-        F.size(F.regexp_extract_all(s, F.lit(r"<i>[^<]*</i>"), 0)).alias("n_italic"),
-        F.size(F.regexp_extract_all(s, F.lit(r"<code>[^<]*</code>"), 0)).alias(
-            "n_monospace"
-        ),
+        *[
+            F.size(F.regexp_extract_all(s, F.lit(pat), 0)).cast("long").alias(name)
+            for name, pat in _PATTERNS
+        ],
     )
 
 
 def q_font_style(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..corpus import pages_df
+    from ..corpus import materialize_pages
 
-    return font_style_counts(pages_df(spark, sf_dir))
+    pages = spark.read.parquet(materialize_pages(sf_dir))
+    # html_str is the pre-decoded utf-8 string column the oracle also reads
+    return font_style_counts(pages, text_col=F.col("html_str"))
 
+
+def _sf001_cache() -> str:
+    # the driver's correctness gate runs at sf0.01; the static oracle SQL
+    # below points at that corpus' cache (materialized by oracle_sql())
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, ".cache", "pages_sf0.01.parquet")
+
+
+SQL_FONT_STYLE = f"""
+SELECT url,
+       len(regexp_extract_all(html_str, '<b>[^<]*</b>'))::BIGINT AS n_bold,
+       len(regexp_extract_all(html_str, '<i>[^<]*</i>'))::BIGINT AS n_italic,
+       len(regexp_extract_all(html_str, '<code>[^<]*</code>'))::BIGINT AS n_monospace
+FROM read_parquet('{_sf001_cache()}')
+"""
 
 QUERIES = {"font_style": q_font_style}
-ORACLE_SQL: dict[str, str] = {}
+ORACLE_SQL = {"font_style": SQL_FONT_STYLE}

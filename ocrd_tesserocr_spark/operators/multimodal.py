@@ -119,12 +119,55 @@ FROM documents
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..corpus import pages_df
+    """Sniff/decode kernel over the materialized pages corpus.
 
-    return media_meta(pages_df(spark, sf_dir)).select(
-        "url", "n_bytes", "media_kind", "sniff_ok", "content_hash"
-    )
+    The Spark side is the real mapInPandas kernel (the plumbing contract);
+    the DuckDB oracle re-expresses the sniff switch over ``hex(html)``
+    (DuckDB 1.0 has no BLOB substring/md5).  content_hash/thumb stay out of
+    the checked projection: md5-of-blob has no DuckDB twin (binary_meta
+    proves hash parity on string payloads) and thumb is the declared
+    decode stub.
+    """
+    from ..corpus import materialize_pages
 
+    pages = spark.read.parquet(materialize_pages(sf_dir)).select("url", "html")
+    return media_meta(pages).select("url", "n_bytes", "media_kind", "sniff_ok")
+
+
+def _hex_prefix(b: bytes) -> str:
+    return b.hex().upper()
+
+
+def _sniff_case_sql() -> str:
+    """CASE over hex(html) replicating sniff_kind byte-for-byte: the magic
+    table in its dict order, then the lstrip-then-'<' fallback."""
+    arms = [
+        f"WHEN substr(h, 1, {2 * len(magic)}) = '{_hex_prefix(magic)}' THEN '{kind}'"
+        for magic, kind in _MAGIC.items()
+    ]
+    # bytes.lstrip() strips b' \t\n\r\x0b\x0c'; '<' is 0x3C
+    ws = "(20|09|0A|0D|0B|0C)"
+    arms.append(f"WHEN regexp_matches(h, '^({ws})*3C') THEN 'text/html'")
+    return "CASE WHEN h = '' THEN 'empty' " + " ".join(arms) + \
+        " ELSE 'application/octet-stream' END"
+
+
+def _sf001_cache() -> str:
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, ".cache", "pages_sf0.01.parquet")
+
+
+SQL_MEDIA_META = f"""
+WITH p AS (
+  SELECT url, octet_length(html)::BIGINT AS n_bytes, hex(html) AS h
+  FROM read_parquet('{_sf001_cache()}'))
+SELECT url, n_bytes,
+       {_sniff_case_sql()} AS media_kind,
+       ({_sniff_case_sql()}) IN ('image/png', 'image/jpeg', 'text/html') AS sniff_ok
+FROM p
+"""
 
 QUERIES = {
     "binary_meta": q_binary_meta,
@@ -133,4 +176,5 @@ QUERIES = {
 
 ORACLE_SQL = {
     "binary_meta": SQL_BINARY_META,
+    "media_meta": SQL_MEDIA_META,
 }

@@ -63,9 +63,11 @@ class ExtractParams:
     #: exit level of the hierarchy to EMIT (the reference's
     #: textequiv_level parameter, ocrd-tool.json:90-98): 'block' emits
     #: block spans only (the north rule's contract: text + spans per
-    #: block), 'line' adds lines, 'word' the full hierarchy.  The
-    #: document text/conf/spans are identical at every level — this only
-    #: gates how much nested structure crosses the Arrow boundary.
+    #: block), 'line' adds lines, 'word' the word hierarchy, 'glyph'
+    #: descends to per-character glyphs with ranked TextEquiv choices
+    #: (recognize.py:816-856).  The document text/conf/spans are identical
+    #: at every level — this only gates how much nested structure crosses
+    #: the Arrow boundary.
     textequiv_level: str = "word"
     #: stage-lineage tags recorded on every row (AlternativeImage @comments
     #: analogue, recognize.py:489-491)
@@ -102,6 +104,69 @@ _BOILERPLATE = {"nav", "header", "footer", "aside"}
 
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 _ALNUM_RE = re.compile(r"[0-9A-Za-z\u00c0-\u024f\u0590-\u06ff\u4e00-\u9fff]")
+
+# ---------------------------------------------------------------------------
+# glyph level: ranked character alternatives
+# (the ChoiceIterator analogue; constants transplant recognize.py:56-57)
+# ---------------------------------------------------------------------------
+
+#: maximum number of choices to annotate (recognize.py:56)
+CHOICE_THRESHOLD_NUM = 10
+#: maximum score drop from the best choice (recognize.py:57; like the
+#: reference's /100 scale, the drop rule is a maximum that rarely binds \u2014
+#: the rank cutoff is the practical limit)
+CHOICE_THRESHOLD_CONF = 1.0
+
+#: deterministic OCR-style confusion table: char -> ranked alternatives
+#: (plays the role of Tesseract's per-symbol ChoiceIterator; shared with
+#: the relational glyph_topk query so both engines agree byte-for-byte)
+GLYPH_CONFUSIONS = {
+    "0": ("o", "O"),
+    "o": ("0",),
+    "O": ("0",),
+    "1": ("l", "I"),
+    "l": ("1", "I"),
+    "I": ("1", "l"),
+    "5": ("s", "S"),
+    "s": ("5",),
+    "S": ("5",),
+    "8": ("B",),
+    "B": ("8",),
+    "e": ("c",),
+    "c": ("e",),
+    "m": ("n",),
+    "n": ("m",),
+    "u": ("v",),
+    "v": ("u",),
+}
+
+
+def glyph_conf(ch: str) -> float:
+    """Deterministic per-glyph confidence: 1.0 for alphanumeric glyphs,
+    0.5 otherwise (the per-char basis of word_conf)."""
+    return 1.0 if _ALNUM_RE.match(ch) else 0.5
+
+
+def glyph_choices(ch: str) -> list:
+    """Ranked TextEquiv choices for one glyph.
+
+    Index 0 is the recognized glyph itself; alternatives follow in
+    confusion-table order with a deterministic 0.02/rank score decay,
+    cut off by the reference's dual rule (recognize.py:849-851): stop at
+    rank > CHOICE_THRESHOLD_NUM or when the score drop from the best
+    choice exceeds CHOICE_THRESHOLD_CONF.  Alternatives equal to the best
+    text are skipped (recognize.py:845-846).
+    """
+    best = glyph_conf(ch)
+    out = [{"text": ch, "conf": best}]
+    for rank, alt in enumerate(GLYPH_CONFUSIONS.get(ch, ()), 1):
+        if alt == ch:
+            continue
+        conf = round(best - 0.02 * rank, 4)
+        if best - conf > CHOICE_THRESHOLD_CONF or rank > CHOICE_THRESHOLD_NUM:
+            break
+        out.append({"text": alt, "conf": conf})
+    return out
 
 
 @lru_cache(maxsize=65536)
@@ -518,13 +583,30 @@ def extract_document(html: bytes | str | None,
                 pos += len(w)
                 c = word_conf(w)
                 wconfs.append(c)
+                word_id = "%s_line%04d_word%04d" % (block_id, li, wi)
+                glyphs = []
+                if params.textequiv_level == "glyph":
+                    # symbol-level descent with ranked choices
+                    # (recognize.py:816-856)
+                    glyphs = [
+                        {
+                            "glyph_id": "%s_glyph%04d" % (word_id, gi),
+                            "char_start": w_start + gi,
+                            "char_end": w_start + gi + 1,
+                            "text": ch,
+                            "conf": glyph_conf(ch),
+                            "choices": glyph_choices(ch),
+                        }
+                        for gi, ch in enumerate(w)
+                    ]
                 words_out.append(
                     {
-                        "word_id": "%s_line%04d_word%04d" % (block_id, li, wi),
+                        "word_id": word_id,
                         "char_start": w_start,
                         "char_end": pos,
                         "text": w,
                         "conf": c,
+                        "glyphs": glyphs,
                     }
                 )
             lconf = sum(wconfs) / len(wconfs) if wconfs else 0.0

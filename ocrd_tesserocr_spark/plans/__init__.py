@@ -52,10 +52,16 @@ STRICT_MAIN = ExtractParams(
 #: textequiv_level asks for it, recognize.py:806-856).
 EXTRACT = ExtractParams(textequiv_level="block")
 
+#: full descent to per-character glyphs with ranked TextEquiv choices
+#: (textequiv_level='glyph' + ChoiceIterator cutoffs,
+#: recognize.py:816-856; constants recognize.py:56-57)
+GLYPH = ExtractParams(textequiv_level="glyph")
+
 PRESETS: dict[str, ExtractParams] = {
     "extract": EXTRACT,
     "recognize": RECOGNIZE,
     "segment": SEGMENT,
     "sparse": SPARSE,
     "strict_main": STRICT_MAIN,
+    "glyph": GLYPH,
 }

@@ -39,6 +39,26 @@ PAGES_SCHEMA = T.StructType(
 # (unrecognized) blocks, the analogue of textequiv_level='none'
 # (recognize.py:411,481-486 lazy recognition).
 # ---------------------------------------------------------------------------
+# ranked TextEquiv choice (recognize.py:838-856: index 0 = recognized
+# glyph, alternatives cut at CHOICE_THRESHOLD_NUM / _CONF)
+CHOICE_STRUCT = T.StructType(
+    [
+        T.StructField("text", T.StringType(), False),
+        T.StructField("conf", T.DoubleType(), False),
+    ]
+)
+
+GLYPH_STRUCT = T.StructType(
+    [
+        T.StructField("glyph_id", T.StringType(), False),
+        T.StructField("char_start", T.LongType(), False),
+        T.StructField("char_end", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("conf", T.DoubleType(), False),
+        T.StructField("choices", T.ArrayType(CHOICE_STRUCT), False),
+    ]
+)
+
 WORD_STRUCT = T.StructType(
     [
         T.StructField("word_id", T.StringType(), False),
@@ -46,6 +66,8 @@ WORD_STRUCT = T.StructType(
         T.StructField("char_end", T.LongType(), False),
         T.StructField("text", T.StringType(), False),
         T.StructField("conf", T.DoubleType(), False),
+        # empty unless textequiv_level='glyph' (recognize.py:816-856)
+        T.StructField("glyphs", T.ArrayType(GLYPH_STRUCT), False),
     ]
 )
 

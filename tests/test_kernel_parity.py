@@ -82,3 +82,49 @@ def test_parallelism_invariance(spark, pages_small, extracted_rows):
     assert len(rows2) == len(extracted_rows)
     for r in rows2:
         assert extracted_rows[r["url"]]["text"] == r["text"]
+
+
+def test_glyph_preset_round_trip(spark, pages_small):
+    """textequiv_level='glyph' crosses the Arrow boundary byte-identically:
+    glyph ids/spans/choices match the pure-Python oracle per url."""
+    from ocrd_tesserocr_spark.corpus import pages_records
+    from ocrd_tesserocr_spark.oracle import extract_document
+    from ocrd_tesserocr_spark.plans import GLYPH
+
+    # full corpus is covered at word level above; glyph parity checks a
+    # deterministic sample to keep the nested-struct comparison bounded
+    recs = pages_records("/root/testdata/sf0.001")[:60]
+    import pandas as pd
+
+    from ocrd_tesserocr_spark.kernel import extract_batches
+
+    pdf = pd.DataFrame(recs)
+    [got] = list(extract_batches(iter([pdf[["url", "html"]]]), GLYPH))
+    for _, row in got.iterrows():
+        exp = extract_document(
+            next(r["html"] for r in recs if r["url"] == row["url"]), GLYPH
+        )
+        for gb, eb in zip(row["blocks"], exp["blocks"]):
+            for gl, el in zip(gb[10], eb["lines"]):
+                for gw, ew in zip(gl[5], el["words"]):
+                    assert [g[3] for g in gw[5]] == [g["text"] for g in ew["glyphs"]]
+                    assert [g[5] for g in gw[5]] == [
+                        [(c["text"], c["conf"]) for c in g["choices"]]
+                        for g in ew["glyphs"]
+                    ]
+
+
+def test_glyph_preset_spark_schema(spark, pages_small):
+    from ocrd_tesserocr_spark.plans import GLYPH
+
+    df = extract(spark, pages_small.limit(30), params=GLYPH, num_partitions=2)
+    row = df.where(~df.failed).select("blocks").first()
+    words = [
+        w for b in row["blocks"] for ln in b["lines"] for w in ln["words"]
+    ]
+    glyphs = [g for w in words for g in w["glyphs"]]
+    assert glyphs, "glyph preset must emit glyphs through Arrow"
+    g = glyphs[0]
+    assert set(g.asDict()) == {
+        "glyph_id", "char_start", "char_end", "text", "conf", "choices"
+    }

@@ -258,3 +258,46 @@ def test_textequiv_level_line_prunes_words():
     assert len(b["lines"]) == 2
     for ln in b["lines"]:
         assert ln["words"] == [] and ln["text"]
+
+
+def test_glyph_level_emits_char_spans_and_choices():
+    # symbol descent + ranked choices (recognize.py:816-856)
+    out = extract_document(
+        _doc("<p>w0rld of glyph level text</p>"),
+        ExtractParams(textequiv_level="glyph"),
+    )
+    w = out["blocks"][0]["lines"][0]["words"][0]
+    assert w["text"] == "w0rld"
+    gs = w["glyphs"]
+    assert [g["text"] for g in gs] == list("w0rld")
+    assert gs[0]["glyph_id"] == w["word_id"] + "_glyph0000"
+    # spans tile the word span exactly, width 1
+    assert gs[0]["char_start"] == w["char_start"]
+    assert gs[-1]["char_end"] == w["char_end"]
+    for g in gs:
+        assert g["char_end"] - g["char_start"] == 1
+        assert out["text"][g["char_start"]:g["char_end"]] == g["text"]
+        # choice index 0 is the recognized glyph itself
+        assert g["choices"][0] == {"text": g["text"], "conf": g["conf"]}
+    # '0' has confusion alternatives o/O with decaying conf
+    zero = gs[1]
+    assert [c["text"] for c in zero["choices"]] == ["0", "o", "O"]
+    assert [c["conf"] for c in zero["choices"]] == [1.0, 0.98, 0.96]
+
+
+def test_glyph_choice_rank_cutoff(monkeypatch):
+    # CHOICE_THRESHOLD_NUM bounds annotated alternatives (recognize.py:56,851)
+    from ocrd_tesserocr_spark import oracle as omod
+
+    monkeypatch.setitem(
+        omod.GLYPH_CONFUSIONS, "z", tuple("abcdefghijklmno")  # 15 alternates
+    )
+    choices = omod.glyph_choices("z")
+    assert len(choices) == 1 + omod.CHOICE_THRESHOLD_NUM
+    assert choices[-1]["conf"] == round(1.0 - 0.02 * 10, 4)
+
+
+def test_glyph_level_off_by_default():
+    out = extract_document(_doc("<p>plain word level text</p>"))
+    w = out["blocks"][0]["lines"][0]["words"][0]
+    assert w["glyphs"] == []
