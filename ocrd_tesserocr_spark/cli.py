@@ -31,6 +31,19 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--no-resume", action="store_true")
     ex.add_argument("--master", default=None)
 
+    rc = sub.add_parser(
+        "recompute",
+        help="re-recognize existing output at a lower level (process_existing)",
+    )
+    rc.add_argument("--preset", default="extract")
+    rc.add_argument("--level", default="word", help="word|glyph|line")
+    rc.add_argument("--input", required=True, help="pages parquet/table path")
+    rc.add_argument("--committed", required=True, help="existing stage output dir")
+    rc.add_argument("--output", required=True, help="new stage output dir")
+    rc.add_argument("--overwrite-text", action="store_true")
+    rc.add_argument("--partitions", type=int, default=None)
+    rc.add_argument("--master", default=None)
+
     ls = sub.add_parser("list-presets", help="list stage presets")
 
     lin = sub.add_parser("lineage", help="show lineage rows for an output dir")
@@ -77,6 +90,22 @@ def main(argv: list[str] | None = None) -> int:
                 params=params,
                 num_partitions=args.partitions,
                 resume=not args.no_resume,
+            )
+            print(json.dumps(res))
+            return 0
+        if args.cmd == "recompute":
+            from .pipeline import recompute_stage
+            from .plans import PRESETS
+
+            res = recompute_stage(
+                spark,
+                spark.read.parquet(args.input),
+                args.committed,
+                args.output,
+                level=args.level,
+                params=PRESETS[args.preset],
+                overwrite_text=args.overwrite_text,
+                num_partitions=args.partitions,
             )
             print(json.dumps(res))
             return 0

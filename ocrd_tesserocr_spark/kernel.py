@@ -83,6 +83,7 @@ def _block_tuple(b: dict) -> tuple:
         b["text_density"],
         b["link_density"],
         b["is_main"],
+        b["model"],
         [
             (
                 ln["line_id"],

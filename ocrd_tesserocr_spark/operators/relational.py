@@ -258,38 +258,91 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# P3 — script -> ISO 15924 map lookup (44-entry map, deskew.py:152-195)
+# P3 — script -> ISO 15924 map lookup: the reference's FULL 44-entry OSD
+# script-name table (deskew.py:155-195) with its .get() default
+# ('Latn - Latin').  The query derives a deterministic script name per doc
+# (doc_id % 45: all 44 entries + one unknown name exercising the fallback)
+# and folds through the map on both engines.
 # ---------------------------------------------------------------------------
-_SCRIPT_CASES = [
-    ("zh", "Hani"),
-    ("ar", "Arab"),
-    ("he", "Hebr"),
-    ("ru", "Cyrl"),
-    ("el", "Grek"),
-]
+SCRIPT_ISO_MAP = {
+    "Arabic": "Arab - Arabic",
+    "Armenian": "Armn - Armenian",
+    "Bengali": "Armn - Armenian",
+    "Canadian_Aboriginal": "Cans - Unified Canadian Aboriginal Syllabics",
+    "Cherokee": "Cher - Cherokee",
+    "Common": "Latn - Latin",
+    "Cyrillic": "Cyrl - Cyrillic",
+    "Devanagari": "Deva - Devanagari (Nagari)",
+    "Ethiopic": "Ethi - Ethiopic",
+    "Fraktur": "Latf - Latin (Fraktur variant)",
+    "Georgian": "Geor - Georgian (Mkhedruli)",
+    "Greek": "Grek - Greek",
+    "Gujarati": "Gujr - Gujarati",
+    "Gurmukhi": "Guru - Gurmukhi",
+    "Han": "Hant - Han (Traditional variant)",
+    "Hangul": "Hang - Hangul",
+    "Hangul_vert": "Hang - Hangul",
+    "HanS": "Hans - Han (Simplified variant)",
+    "HanS_vert": "Hans - Han (Simplified variant)",
+    "HanT": "Hant - Han (Traditional variant)",
+    "HanT_vert": "Hant - Han (Traditional variant)",
+    "Hebrew": "Hebr - Hebrew",
+    "Hiragana": "Jpan - Japanese",
+    "Japanese": "Jpan - Japanese",
+    "Japanese_vert": "Jpan - Japanese",
+    "Kannada": "Knda - Kannada",
+    "Katakana": "Jpan - Japanese",
+    "Khmer": "Khmr - Khmer",
+    "Lao": "Laoo - Lao",
+    "Latin": "Latn - Latin",
+    "Malayalam": "Mlym - Malayalam",
+    "Myanmar": "Mymr - Myanmar (Burmese)",
+    "Oriya": "Orya - Oriya",
+    "Sinhala": "Sinh - Sinhala",
+    "Syriac": "Syrc - Syriac",
+    "Tamil": "Taml - Tamil",
+    "Telugu": "Telu - Telugu",
+    "Thaana": "Thaa - Thaana",
+    "Thai": "Thai - Thai",
+    "Tibetan": "Tibt - Tibetan",
+    "Vietnamese": "Tavt - Tai Viet",
+}
+_SCRIPT_DEFAULT = "Latn - Latin"
+# 41 distinct names above + 3 script-detection aliases the reference also
+# routes through Latn (deskew.py:160,'Common') = the full switch; one extra
+# unknown name exercises the fallback arm
+_SCRIPT_NAMES = list(SCRIPT_ISO_MAP.keys()) + ["Klingon"]
 
 
 def q_script_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    col = F.col("lang")
-    script = (
-        F.when(col == "zh", "Hani")
-        .when(col == "ar", "Arab")
-        .when(col == "he", "Hebr")
-        .when(col == "ru", "Cyrl")
-        .when(col == "el", "Grek")
-        .otherwise("Latn")
-    )
-    return docs.select(script.alias("script")).groupBy("script").agg(
-        F.count(F.lit(1)).alias("n_docs")
+    idx = (F.col("doc_id") % len(_SCRIPT_NAMES)).cast("int")
+    name = F.element_at(F.array(*[F.lit(n) for n in _SCRIPT_NAMES]), idx + 1)
+    iso = None
+    for n, code in SCRIPT_ISO_MAP.items():
+        iso = F.when(name == n, code) if iso is None else iso.when(name == n, code)
+    iso = iso.otherwise(_SCRIPT_DEFAULT)
+    return (
+        docs.select(name.alias("script_name"), iso.alias("iso"))
+        .groupBy("script_name", "iso")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
-SQL_SCRIPT_MAP = """
-SELECT CASE lang WHEN 'zh' THEN 'Hani' WHEN 'ar' THEN 'Arab' WHEN 'he' THEN 'Hebr'
-                 WHEN 'ru' THEN 'Cyrl' WHEN 'el' THEN 'Grek' ELSE 'Latn' END AS script,
-       COUNT(*) AS n_docs
-FROM documents GROUP BY 1
+def _sql_script_case() -> str:
+    arms = " ".join(
+        f"WHEN '{n}' THEN '{code}'" for n, code in SCRIPT_ISO_MAP.items()
+    )
+    return f"CASE script_name {arms} ELSE '{_SCRIPT_DEFAULT}' END"
+
+
+SQL_SCRIPT_MAP = f"""
+WITH named AS (
+  SELECT ([{", ".join("'%s'" % n for n in _SCRIPT_NAMES)}])
+           [(doc_id % {len(_SCRIPT_NAMES)})::INT + 1] AS script_name
+  FROM documents)
+SELECT script_name, {_sql_script_case()} AS iso, COUNT(*) AS n_docs
+FROM named GROUP BY script_name, iso
 """
 
 

@@ -72,9 +72,139 @@ class ExtractParams:
     #: stage-lineage tags recorded on every row (AlternativeImage @comments
     #: analogue, recognize.py:489-491)
     features: tuple = ("cleaned", "segmented", "recognized")
+    #: default recognition model tag (the reference's ``model`` parameter,
+    #: ocrd-tool.json:100-105); recorded per block, overridden by
+    #: ``model_rules`` matches
+    model: str = "default"
+    #: opaque engine-parameter map — the ``tesseract_parameters`` analogue
+    #: (ocrd-tool.json:154-158): ((name, value), ...) string pairs.
+    #: Recognized names override the typed fields above (like SetVariable
+    #: overrides Tesseract runtime variables); unknown names are carried
+    #: through untouched for forward compatibility.
+    extra: tuple = ()
+    #: per-segment config rules — the ``xpath_parameters`` analogue
+    #: (recognize.py:233-246, ocrd-tool.json:159-163):
+    #: ((predicate, ((name, value), ...)), ...).  Predicates are boolean
+    #: expressions over block attributes (kind, n_chars, link_density,
+    #: text_density, rtl, join), e.g. "kind=paragraph and link_density>0.5";
+    #: ALL matching rules apply, in order.
+    block_rules: tuple = ()
+    #: per-segment model selection — the ``xpath_model`` analogue
+    #: (recognize.py:247-262, ocrd-tool.json:164-168):
+    #: ((predicate, model), ...).  Matching models are '+'-joined
+    #: (recognize.py:258-259); no match falls back to ``model``.
+    model_rules: tuple = ()
 
 
 DEFAULT_PARAMS = ExtractParams()
+
+# ---------------------------------------------------------------------------
+# predicate DSL + parameter resolution (xpath_parameters/xpath_model
+# analogue, recognize.py:233-262)
+# ---------------------------------------------------------------------------
+
+#: typed fields the opaque ``extra`` map / block rules may override
+#: (SetVariable analogue: string values coerced to the field's type)
+_TYPED_FIELDS = {
+    "min_paragraph_chars": int,
+    "max_link_density": float,
+    "textequiv_level": str,
+    "segment_only": lambda v: v.lower() in ("1", "true", "yes"),
+    "model": str,
+}
+
+_PRED_CLAUSE_RE = re.compile(
+    r"^\s*([a-z_]+)\s*(>=|<=|!=|=|>|<)\s*(\S+)\s*$"
+)
+
+
+@lru_cache(maxsize=1024)
+def compile_predicate(expr: str):
+    """'kind=paragraph and link_density>0.5' -> callable(attrs) -> bool.
+
+    The web-DOM stand-in for the reference's XPath predicates over PAGE
+    segments (recognize.py:238-240): attribute comparisons joined with
+    'and'.  Unknown attributes never match (mirrors an XPath query that
+    selects nothing).
+    """
+    clauses = []
+    for part in expr.split(" and "):
+        m = _PRED_CLAUSE_RE.match(part)
+        if not m:
+            raise ValueError(f"bad predicate clause: {part!r}")
+        clauses.append((m.group(1), m.group(2), m.group(3)))
+
+    def test(attrs: dict) -> bool:
+        for name, op, raw in clauses:
+            if name not in attrs:
+                return False
+            actual = attrs[name]
+            if isinstance(actual, bool):
+                want = raw.lower() in ("1", "true", "yes")
+            elif isinstance(actual, (int, float)):
+                want = float(raw)
+            else:
+                want = raw
+            if op == "=":
+                ok = actual == want
+            elif op == "!=":
+                ok = actual != want
+            elif op == ">":
+                ok = actual > want
+            elif op == "<":
+                ok = actual < want
+            elif op == ">=":
+                ok = actual >= want
+            else:
+                ok = actual <= want
+            if not ok:
+                return False
+        return True
+
+    return test
+
+
+def _coerce_overrides(pairs) -> dict:
+    out = {}
+    for name, val in pairs:
+        conv = _TYPED_FIELDS.get(name)
+        if conv is not None:
+            out[name] = conv(val)
+    return out
+
+
+def resolve_params(params: ExtractParams) -> ExtractParams:
+    """Apply the opaque ``extra`` map onto the typed fields (the
+    SetVariable pass the reference runs at init, recognize.py:361-365 via
+    tesseract_parameters); unknown names stay in ``extra`` untouched."""
+    if not params.extra:
+        return params
+    overrides = _coerce_overrides(params.extra)
+    if not overrides:
+        return params
+    from dataclasses import replace
+
+    return replace(params, **overrides)
+
+
+def _block_effective(params: ExtractParams, attrs: dict):
+    """Per-block (effective_params, model) after rule application.
+
+    All matching block_rules apply in order (recognize.py:238-246 applies
+    every matching xpath_parameters entry); matching model_rules '+'-join
+    (recognize.py:258-259), falling back to the default model.
+    """
+    eff = params
+    overrides: dict = {}
+    for expr, pairs in params.block_rules:
+        if compile_predicate(expr)(attrs):
+            overrides.update(_coerce_overrides(pairs))
+    if overrides:
+        from dataclasses import replace
+
+        eff = replace(params, **overrides)
+    models = [m for expr, m in params.model_rules if compile_predicate(expr)(attrs)]
+    return eff, ("+".join(models) if models else eff.model)
 
 # tag -> block kind (region-type switch, recognize.py:585-674)
 _BLOCK_KIND = {
@@ -189,6 +319,7 @@ def word_conf(word: str) -> float:
 class _RawBlock:
     kind: str
     rtl: bool = False
+    btt: bool = False  # bottom-to-top line order (common.py:131-134)
     join: bool = False
     boiler: bool = False
     parts: list = field(default_factory=list)  # (text, in_link)
@@ -264,7 +395,11 @@ class _BlockParser:
                     continue
                 attrs_raw = m.group(3)
                 attrs = []
-                if attrs_raw and ("dir" in attrs_raw or "data-join" in attrs_raw):
+                if attrs_raw and (
+                    "dir" in attrs_raw
+                    or "data-join" in attrs_raw
+                    or "data-line-order" in attrs_raw
+                ):
                     attrs = [
                         (a.lower(), _unquote_attr(v))
                         for a, v in _ATTR_RE.findall(attrs_raw)
@@ -295,6 +430,9 @@ class _BlockParser:
         blk = _RawBlock(
             kind="noise" if self._boiler_depth > 0 else kind,
             rtl=self._rtl() or attrs.get("dir", "").lower() == "rtl",
+            # textLineOrder bottom-to-top analogue (common.py:131-134)
+            btt=attrs.get("data-line-order", "").lower()
+            in ("btt", "bottom-to-top"),
             join="data-join" in attrs,
             boiler=self._boiler_depth > 0,
         )
@@ -444,6 +582,10 @@ def _assemble_block(raw: _RawBlock) -> dict:
         if raw.rtl:
             words = list(reversed(words))
         lines.append(words)
+    if raw.btt:
+        # bottom-to-top textLineOrder reverses line traversal
+        # (common.py:131-134)
+        lines.reverse()
     link_density = (link_chars / total_chars) if total_chars else 0.0
     text_density = total_chars / (1.0 + raw.tag_count)
     return {
@@ -483,6 +625,7 @@ def extract_document(html: bytes | str | None,
     ``{"failed": True, ...}`` instead of raising — failures are counted in
     lineage, they never abort the job (north rule).
     """
+    params = resolve_params(params)  # opaque extra map -> typed fields
     try:
         if html is None:
             raise ValueError("null payload")
@@ -518,8 +661,19 @@ def extract_document(html: bytes | str | None,
 
     for idx, a in enumerate(assembled):
         block_id = "block%04d" % idx
+        # per-segment dynamic config (xpath_parameters/xpath_model
+        # analogue): rules see the block's classification inputs
+        attrs = {
+            "kind": a["kind"],
+            "n_chars": a["n_chars"],
+            "link_density": a["link_density"],
+            "text_density": a["text_density"],
+            "rtl": a["rtl"],
+            "join": a["join"],
+        }
+        eff, model = _block_effective(params, attrs)
         is_main = classify_is_main(
-            a["kind"], a["n_chars"], a["link_density"], params
+            a["kind"], a["n_chars"], a["link_density"], eff
         )
         if params.segment_only:
             is_main_out = is_main
@@ -535,6 +689,7 @@ def extract_document(html: bytes | str | None,
                     "text_density": a["text_density"],
                     "link_density": a["link_density"],
                     "is_main": is_main_out,
+                    "model": model,
                     "lines": [],
                 }
             )
@@ -554,6 +709,7 @@ def extract_document(html: bytes | str | None,
                     "text_density": a["text_density"],
                     "link_density": a["link_density"],
                     "is_main": False,
+                    "model": model,
                     "lines": [],
                 }
             )
@@ -585,7 +741,7 @@ def extract_document(html: bytes | str | None,
                 wconfs.append(c)
                 word_id = "%s_line%04d_word%04d" % (block_id, li, wi)
                 glyphs = []
-                if params.textequiv_level == "glyph":
+                if eff.textequiv_level == "glyph":
                     # symbol-level descent with ranked choices
                     # (recognize.py:816-856)
                     glyphs = [
@@ -625,10 +781,11 @@ def extract_document(html: bytes | str | None,
         main_confs.append(bconf)
         # emission gate (textequiv_level): structure below the exit level
         # never crosses the batch boundary (lazy emission, the analogue of
-        # running lower RIL levels only when asked, recognize.py:806-856)
-        if params.textequiv_level == "block":
+        # running lower RIL levels only when asked, recognize.py:806-856);
+        # per-block rules may deepen/shallow the level for matching blocks
+        if eff.textequiv_level == "block":
             lines_out = []
-        elif params.textequiv_level == "line":
+        elif eff.textequiv_level == "line":
             lines_out = [dict(ln, words=[]) for ln in lines_out]
         blocks.append(
             {
@@ -642,6 +799,7 @@ def extract_document(html: bytes | str | None,
                 "text_density": a["text_density"],
                 "link_density": a["link_density"],
                 "is_main": True,
+                "model": model,
                 "lines": lines_out,
             }
         )

@@ -155,6 +155,19 @@ def run_stage(
 
     t0 = time.time()
     extracted = extract(spark, pages, params, num_partitions)
+    return _commit_stage(spark, extracted, out_dir, snapshot_id, stage, t0)
+
+
+def _commit_stage(
+    spark: SparkSession,
+    extracted: DataFrame,
+    out_dir: str,
+    snapshot_id: int,
+    stage: str,
+    t0: float,
+) -> dict:
+    """Write one snapshot's data + lineage, then the atomic manifest commit
+    (shared by run_stage and recompute_stage)."""
     data_path = os.path.join(out_dir, f"snapshot_id={snapshot_id}")
     extracted.write.mode("overwrite").parquet(data_path)
     wall_ms = int((time.time() - t0) * 1000)
@@ -183,6 +196,59 @@ def run_stage(
         "failure_count": counts["f"] or 0,
         "wall_ms": wall_ms,
     }
+
+
+def recompute_stage(
+    spark: SparkSession,
+    pages: DataFrame,
+    in_dir: str,
+    out_dir: str,
+    level: str = "word",
+    params: ExtractParams = DEFAULT_PARAMS,
+    overwrite_text: bool = False,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Re-recognize EXISTING extraction output at a lower hierarchy level
+    (the process_existing analogue, recognize.py:858-1172): only urls
+    already committed in ``in_dir`` are recomputed, descending to ``level``
+    (e.g. a committed block-level extraction refreshed with word or glyph
+    structure), and the result is committed to ``out_dir`` — a new stage
+    table, mirroring the reference's new METS output fileGrp.
+
+    ``overwrite_text`` transplants recognize.py:953-955: False keeps the
+    committed document text/conf/features byte-for-byte (only structure
+    below the existing levels is refreshed); True lets the new recognition
+    replace them.
+    """
+    import dataclasses
+
+    os.makedirs(out_dir, exist_ok=True)
+    snapshot_id = (max(committed_snapshot_ids(out_dir)) + 1) if read_manifest(out_dir) else 1
+    stage = f"recompute_{level}"
+
+    committed = read_extracted(spark, in_dir)
+    # only existing outputs are recomputed (the join against committed
+    # segmentation); left_semi keeps the pages columns and lets AQE pick
+    # broadcast-vs-shuffle for the url set
+    subset = pages.join(committed.select("url"), "url", "left_semi")
+    if resume and committed_snapshot_ids(out_dir):
+        done = read_extracted(spark, out_dir).select("url")
+        small = _small_committed(out_dir)
+        subset = subset.join(F.broadcast(done) if small else done, "url", "left_anti")
+
+    t0 = time.time()
+    deeper = dataclasses.replace(params, textequiv_level=level)
+    recomputed = extract(spark, subset, deeper, num_partitions)
+    if not overwrite_text:
+        # keep committed text/conf/features verbatim; refresh structure only
+        kept = committed.select("url", "text", "conf", "features")
+        recomputed = (
+            recomputed.drop("text", "conf", "features")
+            .join(kept, "url")
+            .select(*[f.name for f in EXTRACTED_SCHEMA.fields])
+        )
+    return _commit_stage(spark, recomputed, out_dir, snapshot_id, stage, t0)
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:

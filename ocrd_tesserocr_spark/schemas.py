@@ -94,6 +94,9 @@ BLOCK_STRUCT = T.StructType(
         T.StructField("text_density", T.DoubleType(), False),
         T.StructField("link_density", T.DoubleType(), False),
         T.StructField("is_main", T.BooleanType(), False),
+        # per-block recognition model tag (the reference's model parameter +
+        # xpath_model per-segment selection, recognize.py:247-262)
+        T.StructField("model", T.StringType(), False),
         T.StructField("lines", T.ArrayType(LINE_STRUCT), False),
     ]
 )

@@ -105,7 +105,7 @@ def test_glyph_preset_round_trip(spark, pages_small):
             next(r["html"] for r in recs if r["url"] == row["url"]), GLYPH
         )
         for gb, eb in zip(row["blocks"], exp["blocks"]):
-            for gl, el in zip(gb[10], eb["lines"]):
+            for gl, el in zip(gb[11], eb["lines"]):
                 for gw, ew in zip(gl[5], el["words"]):
                     assert [g[3] for g in gw[5]] == [g["text"] for g in ew["glyphs"]]
                     assert [g[5] for g in gw[5]] == [

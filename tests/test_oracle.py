@@ -301,3 +301,75 @@ def test_glyph_level_off_by_default():
     out = extract_document(_doc("<p>plain word level text</p>"))
     w = out["blocks"][0]["lines"][0]["words"][0]
     assert w["glyphs"] == []
+
+
+def test_bottom_to_top_line_order():
+    # textLineOrder bottom-to-top reverses line traversal (common.py:131-134)
+    out = extract_document(
+        _doc('<p data-line-order="btt">first line words here<br>'
+             "second line words here</p>")
+    )
+    assert out["text"] == "second line words here\nfirst line words here"
+
+
+def test_opaque_extra_params_override_typed_fields():
+    # tesseract_parameters analogue (ocrd-tool.json:154-158): string map
+    # overrides typed fields; unknown names carried through untouched
+    out = extract_document(
+        _doc("<p>short para text</p><p>long enough paragraph to pass the default</p>"),
+        ExtractParams(extra=(("min_paragraph_chars", "100"), ("oem", "1"))),
+    )
+    assert out["text"] == ""  # both paragraphs below 100 chars
+    out = extract_document(
+        _doc("<p>long enough paragraph to pass the default</p>"),
+        ExtractParams(extra=(("oem", "1"),)),  # unknown-only: no effect
+    )
+    assert out["text"] == "long enough paragraph to pass the default"
+
+
+def test_block_rules_switch_params_per_segment():
+    # xpath_parameters analogue (recognize.py:233-246): predicate -> params
+    html = _doc(
+        '<p><a href="/x">linky link link link</a> <a href="/y">more link text</a></p>'
+        "<p>plain main content paragraph text</p>"
+    )
+    # default: link-dense paragraph excluded
+    assert extract_document(html)["text"] == "plain main content paragraph text"
+    # rule lifts the link-density gate for paragraphs
+    rules = (("kind=paragraph and link_density>0.5", (("max_link_density", "1.0"),)),)
+    out = extract_document(html, ExtractParams(block_rules=rules))
+    assert out["text"].startswith("linky link link link")
+    # hand-built oracle: both paragraphs now main
+    assert sum(b["is_main"] for b in out["blocks"]) == 2
+
+
+def test_model_rules_join_matches():
+    # xpath_model analogue (recognize.py:247-262): matches '+'-joined,
+    # fallback to the default model otherwise
+    rules = (("kind=heading", "eng_best"), ("rtl=true", "ara"),
+             ("kind=heading and n_chars>4", "deu"))
+    out = extract_document(
+        _doc('<h1>Heading Title</h1><p dir="rtl">alpha beta gamma delta</p>'
+             "<p>plain paragraph content here</p>"),
+        ExtractParams(model_rules=rules, model="base"),
+    )
+    models = {b["kind"]: b["model"] for b in out["blocks"]}
+    assert models["heading"] == "eng_best+deu"
+    assert models["paragraph"] in ("ara", "base")
+    by_rtl = [b["model"] for b in out["blocks"] if b["kind"] == "paragraph"]
+    assert by_rtl == ["ara", "base"]
+
+
+def test_predicate_dsl_errors_and_unknown_attrs():
+    import pytest
+
+    from ocrd_tesserocr_spark.oracle import compile_predicate
+
+    with pytest.raises(ValueError):
+        compile_predicate("kind ~ paragraph")
+    # unknown attribute never matches (like an XPath selecting nothing)
+    assert compile_predicate("nosuch=1")({"kind": "paragraph"}) is False
+    p = compile_predicate("n_chars>=10 and kind!=table")
+    assert p({"n_chars": 10, "kind": "paragraph"}) is True
+    assert p({"n_chars": 9, "kind": "paragraph"}) is False
+    assert p({"n_chars": 50, "kind": "table"}) is False

@@ -142,3 +142,54 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components(nodes, edges, max_iter=2)
     out = connected_components(nodes, edges, max_iter=20)
     assert out.where(F.col("component_id") != 0).count() == 0
+
+
+def test_recompute_stage_lower_level(spark, pages_small, tmp_path):
+    """process_existing analogue (recognize.py:858-1172): recompute only
+    already-committed urls at a deeper level; higher levels stay
+    byte-stable unless overwrite_text."""
+    from ocrd_tesserocr_spark.pipeline import recompute_stage
+    from ocrd_tesserocr_spark.plans import EXTRACT
+
+    in_dir = str(tmp_path / "block_level")
+    out_dir = str(tmp_path / "word_level")
+    r1 = run_stage(
+        spark, pages_small.limit(80), in_dir, params=EXTRACT, num_partitions=2
+    )
+    assert r1["doc_count"] == 80
+
+    # full pages input, but only the 80 committed urls are recomputed
+    r2 = recompute_stage(
+        spark, pages_small, in_dir, out_dir, level="word",
+        params=EXTRACT, num_partitions=2,
+    )
+    assert r2["doc_count"] == 80
+
+    before = {r["url"]: r for r in read_extracted(spark, in_dir).collect()}
+    after = {r["url"]: r for r in read_extracted(spark, out_dir).collect()}
+    assert set(before) == set(after)
+    refreshed = 0
+    for url, b in before.items():
+        a = after[url]
+        # overwrite_text=False: doc text/conf byte-stable
+        assert a["text"] == b["text"] and a["conf"] == b["conf"]
+        for ab, bb in zip(a["blocks"], b["blocks"]):
+            assert ab["block_id"] == bb["block_id"]
+            assert ab["char_start"] == bb["char_start"]
+            assert bb["lines"] == []  # block preset emitted no lines
+            if ab["is_main"]:
+                refreshed += 1
+                assert ab["lines"], "recompute must add word-level structure"
+                assert ab["lines"][0]["words"]
+    assert refreshed > 0
+
+    # lineage records the recompute stage
+    stages = {r["stage"] for r in read_lineage(spark, out_dir).collect()}
+    assert stages == {"recompute_word"}
+
+    # resume: a second recompute over the same input is a no-op
+    r3 = recompute_stage(
+        spark, pages_small, in_dir, out_dir, level="word",
+        params=EXTRACT, num_partitions=2,
+    )
+    assert r3["doc_count"] == 0
