@@ -30,7 +30,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATION = int(os.environ.get("BENCH_REPLICATION", "64"))
 DOC_REPEAT = int(os.environ.get("BENCH_DOC_REPEAT", "8"))
-REPS = int(os.environ.get("BENCH_REPS", "1"))
+#: interleaved repetitions of the PRIMARY (4 -> 16) scaling pair; the
+#: reported efficiency is the MEDIAN over reps so one degraded hypervisor
+#: window cannot dominate the round (VERDICT r1: a single-pair run landed in
+#: a window where even pure CPU scaled 1.86x for 4x cores)
+PAIR_REPS = int(os.environ.get("BENCH_PAIR_REPS", "3"))
 PAGES_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     ".bench_pages",
@@ -52,6 +56,9 @@ HEADLINE = [
     "quality_score",
     "cosine_topk",
     "ann_bucketed",
+    "near_dedup_verified",
+    "ngram_jaccard_stats",
+    "glyph_topk",
 ]
 
 
@@ -106,58 +113,110 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     spark.stop()
 
-    # scaling protocol: identical job + input, N and 4N parallelism
-    # (two pairs: 4->16 and 8->32; see BASELINE.md for the hardware-ceiling
-    # control measurement that contextualizes the 8->32 pair)
-    # hypervisor steal on this VM varies on a minutes scale; each N/4N
-    # pair runs back-to-back inside one subprocess so the ratio sees the
-    # same noise regime, and best-of-REPS guards against a bad window
-    scaling = {}
-    for _ in range(REPS):
-        for pair in ("4,16", "8,32"):
-            proc = subprocess.run(
-                [sys.executable, "-m", "ocrd_tesserocr_spark.bench_scaling", pair, pages_path],
-                capture_output=True,
-                text=True,
-                timeout=1800,
-            )
-            for line in proc.stdout.splitlines():
-                if not line.startswith("{"):
-                    continue
+    # scaling protocol: identical job + input, N and 4N parallelism.
+    # Hypervisor steal on this VM varies on a minutes scale, so (a) each
+    # N/4N pair runs back-to-back inside ONE subprocess (the ratio sees a
+    # shared noise regime), (b) the primary 4->16 pair is repeated
+    # PAIR_REPS times interleaved and the reported efficiency is the
+    # MEDIAN over reps, and (c) every level carries an adjacent pure-CPU
+    # calibration probe so a steal-normalized efficiency is reported
+    # beside the raw one.  8->32 runs once as the secondary pair (the VM's
+    # own SMT/steal ceiling caps pure-CPU 8->32 scaling at ~0.76; see
+    # BASELINE.md).
+    from statistics import median
+
+    def run_pair(pair: str) -> dict:
+        proc = subprocess.run(
+            [sys.executable, "-m", "ocrd_tesserocr_spark.bench_scaling", pair, pages_path],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        out = {}
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
                 run = json.loads(line)
-                c = run["cores"]
-                if c not in scaling or run["docs_per_sec"] > scaling[c]["docs_per_sec"]:
-                    scaling[c] = run
+                out[run["cores"]] = run
+        return out
 
-    def tput(c):
-        return scaling[c]["docs_per_sec"]
-
-    def norm_eff(lo, hi):
+    def pair_eff(runs: dict, lo: int, hi: int) -> tuple[float, float]:
         """Raw N->4N throughput ratio, plus a machine-normalized ratio:
         docs/sec divided by the adjacent same-core-count CPU calibration
         probe.  The normalized value reads as 'did the engine scale as
         well as raw parallel CPU did in the same measurement window' —
         1.0 means framework overhead added nothing on top of the
         hardware's own SMT/steal behavior."""
-        raw = tput(hi) / (4.0 * tput(lo))
-        c_lo = scaling[lo].get("calib_chunks_per_sec") or 0
-        c_hi = scaling[hi].get("calib_chunks_per_sec") or 0
-        norm = (tput(hi) / c_hi) / (tput(lo) / c_lo) if c_lo and c_hi else raw
+        raw = runs[hi]["docs_per_sec"] / (4.0 * runs[lo]["docs_per_sec"])
+        c_lo = runs[lo].get("calib_chunks_per_sec") or 0
+        c_hi = runs[hi].get("calib_chunks_per_sec") or 0
+        norm = (
+            (runs[hi]["docs_per_sec"] / c_hi) / (runs[lo]["docs_per_sec"] / c_lo)
+            if c_lo and c_hi
+            else raw
+        )
         return round(raw, 3), round(norm, 3)
 
-    e416_raw, e416_norm = norm_eff(4, 16)
-    e832_raw, e832_norm = norm_eff(8, 32)
+    reps_4_16 = []
+    for _ in range(PAIR_REPS):
+        runs = run_pair("4,16")
+        if 4 in runs and 16 in runs:
+            raw, norm = pair_eff(runs, 4, 16)
+            reps_4_16.append({"runs": runs, "eff_raw": raw, "eff_norm": norm})
+    runs_8_32 = run_pair("8,32")
+
+    def med(core: int, key: str):
+        vals = [r["runs"][core][key] for r in reps_4_16 if core in r["runs"]]
+        if core in runs_8_32:
+            vals = vals or [runs_8_32[core][key]]
+        return round(median(vals), 3) if vals else None
+
+    by_core = {}
+    for c in (4, 16):
+        by_core[c] = {
+            "docs_per_sec": med(c, "docs_per_sec"),
+            "wall_sec": med(c, "wall_sec"),
+            "calib_chunks_per_sec": med(c, "calib_chunks_per_sec"),
+        }
+    for c in (8, 32):
+        if c in runs_8_32:
+            by_core[c] = {
+                k: runs_8_32[c][k]
+                for k in ("docs_per_sec", "wall_sec", "calib_chunks_per_sec")
+            }
+
+    e832_raw, e832_norm = (
+        pair_eff(runs_8_32, 8, 32) if 8 in runs_8_32 and 32 in runs_8_32 else (None, None)
+    )
     extraction = {
-        "docs": scaling[32]["docs"],
-        "docs_per_sec": {str(c): tput(c) for c in scaling},
-        "wall_sec": {str(c): scaling[c]["wall_sec"] for c in scaling},
-        "calib_chunks_per_sec": {str(c): scaling[c].get("calib_chunks_per_sec") for c in scaling},
-        "scaling_efficiency_4_to_16": e416_raw,
-        "scaling_efficiency_4_to_16_steal_normalized": e416_norm,
+        "docs": (reps_4_16[0]["runs"][4] if reps_4_16 else runs_8_32[8])["docs"],
+        "docs_per_sec": {str(c): v["docs_per_sec"] for c, v in by_core.items()},
+        "wall_sec": {str(c): v["wall_sec"] for c, v in by_core.items()},
+        "calib_chunks_per_sec": {
+            str(c): v["calib_chunks_per_sec"] for c, v in by_core.items()
+        },
+        "pair_reps_4_16": [
+            {
+                "docs_per_sec_4": r["runs"][4]["docs_per_sec"],
+                "docs_per_sec_16": r["runs"][16]["docs_per_sec"],
+                "calib_4": r["runs"][4]["calib_chunks_per_sec"],
+                "calib_16": r["runs"][16]["calib_chunks_per_sec"],
+                "eff_raw": r["eff_raw"],
+                "eff_norm": r["eff_norm"],
+            }
+            for r in reps_4_16
+        ],
+        "scaling_efficiency_4_to_16": round(
+            median(r["eff_raw"] for r in reps_4_16), 3
+        ),
+        "scaling_efficiency_4_to_16_steal_normalized": round(
+            median(r["eff_norm"] for r in reps_4_16), 3
+        ),
         "scaling_efficiency_8_to_32": e832_raw,
         "scaling_efficiency_8_to_32_steal_normalized": e832_norm,
     }
-    timings["extraction_local32"] = scaling[32]["wall_sec"]
+    wall32 = by_core.get(32, {}).get("wall_sec")
+    if wall32 is not None:
+        timings["extraction_local32"] = wall32
 
     result = {
         "metric": "headline operator suite + html extraction (docs/sec; scaling eff 4->16 primary, 8->32 secondary)",

@@ -1,14 +1,26 @@
 """spark-submit entry point.
 
 The reference exposes 10 click commands wrapping processors
-(/root/reference/ocrd_tesserocr/cli.py:15-63); here each stage preset is a
-subcommand of one job::
+(/root/reference/ocrd_tesserocr/cli.py:15-63); every one maps to a
+subcommand/preset of this single job::
+
+    ocrd-tesserocr-recognize       -> extract --preset recognize
+    ocrd-tesserocr-segment         -> extract --preset segment
+    ocrd-tesserocr-segment-region  -> extract --preset extract   (block level)
+    ocrd-tesserocr-segment-table   -> extract --preset extract   (td/th blocks)
+    ocrd-tesserocr-segment-line    -> extract --preset segment_line
+    ocrd-tesserocr-segment-word    -> extract --preset segment_word
+    ocrd-tesserocr-crop            -> extract --preset strict_main
+    ocrd-tesserocr-deskew          -> extract --preset recognize (dir/rtl pass)
+    ocrd-tesserocr-binarize        -> extract (script/style mask is always on)
+    ocrd-tesserocr-fontshape       -> fontshape
 
     spark-submit --py-files dist/engine.zip -m ocrd_tesserocr_spark.cli \\
         extract --preset recognize --input /data/pages --output /data/extracted
 
-On a real cluster ``--master yarn/k8s`` + executor counts come from
-spark-submit; this module only declares the logical plan.
+plus ``recompute`` (process_existing analogue) and ``lineage``.  On a real
+cluster ``--master yarn/k8s`` + executor counts come from spark-submit;
+this module only declares the logical plan.
 """
 
 from __future__ import annotations
@@ -43,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     rc.add_argument("--overwrite-text", action="store_true")
     rc.add_argument("--partitions", type=int, default=None)
     rc.add_argument("--master", default=None)
+
+    fs = sub.add_parser(
+        "fontshape", help="per-page inline style counts (TextStyle analogue)"
+    )
+    fs.add_argument("--input", required=True, help="pages parquet/table path")
+    fs.add_argument("--output", required=True, help="output parquet path")
+    fs.add_argument("--master", default=None)
 
     ls = sub.add_parser("list-presets", help="list stage presets")
 
@@ -108,6 +127,13 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions,
             )
             print(json.dumps(res))
+            return 0
+        if args.cmd == "fontshape":
+            from .operators.fontshape import font_style_counts
+
+            font_style_counts(spark.read.parquet(args.input)).write.mode(
+                "overwrite"
+            ).parquet(args.output)
             return 0
         if args.cmd == "lineage":
             from .pipeline import read_lineage

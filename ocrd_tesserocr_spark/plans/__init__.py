@@ -57,10 +57,17 @@ EXTRACT = ExtractParams(textequiv_level="block")
 #: recognize.py:816-856; constants recognize.py:56-57)
 GLYPH = ExtractParams(textequiv_level="glyph")
 
+#: segmentation-level facades (segment_line.py:19-22, segment_word.py:19-22
+#: pin their level pairs over the same core): the emission ladder
+SEGMENT_LINE = ExtractParams(textequiv_level="line")
+SEGMENT_WORD = ExtractParams(textequiv_level="word")
+
 PRESETS: dict[str, ExtractParams] = {
     "extract": EXTRACT,
     "recognize": RECOGNIZE,
     "segment": SEGMENT,
+    "segment_line": SEGMENT_LINE,
+    "segment_word": SEGMENT_WORD,
     "sparse": SPARSE,
     "strict_main": STRICT_MAIN,
     "glyph": GLYPH,

@@ -261,3 +261,30 @@ def test_connected_components_chain(spark):
     edges = spark.createDataFrame([(2, 3), (1, 2)], ["doc_a", "doc_b"])
     comp = {r["doc_id"]: r["component_id"] for r in connected_components(nodes, edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_cli_fontshape_and_recompute_surface(capsys):
+    """Every reference CLI command has a mapped subcommand/preset
+    (cli.py docstring table)."""
+    from ocrd_tesserocr_spark.cli import build_parser
+    from ocrd_tesserocr_spark.plans import PRESETS
+
+    p = build_parser()
+    cmds = {a.dest: a for a in p._subparsers._group_actions}
+    sub = p._subparsers._group_actions[0].choices
+    assert set(sub) == {"extract", "recompute", "fontshape", "list-presets", "lineage"}
+    for preset in ("recognize", "segment", "segment_line", "segment_word",
+                   "strict_main", "extract", "glyph", "sparse"):
+        assert preset in PRESETS
+
+
+def test_segment_level_presets_gate_emission():
+    from ocrd_tesserocr_spark.oracle import extract_document
+    from ocrd_tesserocr_spark.plans import SEGMENT_LINE, SEGMENT_WORD
+
+    html = b"<html><body><p>alpha beta gamma delta epsilon</p></body></html>"
+    line_out = extract_document(html, SEGMENT_LINE)
+    b = line_out["blocks"][0]
+    assert b["lines"] and b["lines"][0]["words"] == []
+    word_out = extract_document(html, SEGMENT_WORD)
+    assert word_out["blocks"][0]["lines"][0]["words"]
