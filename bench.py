@@ -139,13 +139,15 @@ def main() -> None:
                 out[run["cores"]] = run
         return out
 
-    def pair_eff(runs: dict, lo: int, hi: int) -> tuple[float, float]:
-        """Raw N->4N throughput ratio, plus a machine-normalized ratio:
-        docs/sec divided by the adjacent same-core-count CPU calibration
-        probe.  The normalized value reads as 'did the engine scale as
-        well as raw parallel CPU did in the same measurement window' —
-        1.0 means framework overhead added nothing on top of the
-        hardware's own SMT/steal behavior."""
+    def pair_eff(runs: dict, lo: int, hi: int) -> tuple[float, float, float]:
+        """Raw N->4N throughput ratio, plus two machine-normalized ratios:
+        docs/sec divided by (a) the adjacent same-core-count pure-CPU
+        calibration probe and (b) the adjacent same-kernel multiprocessing
+        CONTROL.  A normalized value of 1.0 means the engine scaled exactly
+        as well as the no-framework baseline did in the same measurement
+        windows — (b) is the honest one, since hypervisor pressure hits a
+        many-threaded JVM+Python tree harder than a tight arithmetic
+        loop."""
         raw = runs[hi]["docs_per_sec"] / (4.0 * runs[lo]["docs_per_sec"])
         c_lo = runs[lo].get("calib_chunks_per_sec") or 0
         c_hi = runs[hi].get("calib_chunks_per_sec") or 0
@@ -154,14 +156,31 @@ def main() -> None:
             if c_lo and c_hi
             else raw
         )
-        return round(raw, 3), round(norm, 3)
+        k_lo = runs[lo].get("control_docs_per_sec") or 0
+        k_hi = runs[hi].get("control_docs_per_sec") or 0
+        ctrl = (
+            (runs[hi]["docs_per_sec"] / k_hi) / (runs[lo]["docs_per_sec"] / k_lo)
+            if k_lo and k_hi
+            else raw
+        )
+        return round(raw, 3), round(norm, 3), round(ctrl, 3)
 
     reps_4_16 = []
-    for _ in range(PAIR_REPS):
+    for i in range(PAIR_REPS):
         runs = run_pair("4,16")
         if 4 in runs and 16 in runs:
-            raw, norm = pair_eff(runs, 4, 16)
-            reps_4_16.append({"runs": runs, "eff_raw": raw, "eff_norm": norm})
+            raw, norm, ctrl = pair_eff(runs, 4, 16)
+            reps_4_16.append(
+                {"runs": runs, "eff_raw": raw, "eff_norm": norm, "eff_control": ctrl}
+            )
+        # adaptive: two agreeing reps settle the measurement; a third runs
+        # only when the first two disagree (noisy window)
+        if (
+            i >= 1
+            and len(reps_4_16) >= 2
+            and abs(reps_4_16[-1]["eff_raw"] - reps_4_16[-2]["eff_raw"]) <= 0.05
+        ):
+            break
     runs_8_32 = run_pair("8,32")
 
     def med(core: int, key: str):
@@ -176,16 +195,24 @@ def main() -> None:
             "docs_per_sec": med(c, "docs_per_sec"),
             "wall_sec": med(c, "wall_sec"),
             "calib_chunks_per_sec": med(c, "calib_chunks_per_sec"),
+            "control_docs_per_sec": med(c, "control_docs_per_sec"),
         }
     for c in (8, 32):
         if c in runs_8_32:
             by_core[c] = {
-                k: runs_8_32[c][k]
-                for k in ("docs_per_sec", "wall_sec", "calib_chunks_per_sec")
+                k: runs_8_32[c].get(k)
+                for k in (
+                    "docs_per_sec",
+                    "wall_sec",
+                    "calib_chunks_per_sec",
+                    "control_docs_per_sec",
+                )
             }
 
-    e832_raw, e832_norm = (
-        pair_eff(runs_8_32, 8, 32) if 8 in runs_8_32 and 32 in runs_8_32 else (None, None)
+    e832_raw, e832_norm, e832_ctrl = (
+        pair_eff(runs_8_32, 8, 32)
+        if 8 in runs_8_32 and 32 in runs_8_32
+        else (None, None, None)
     )
     extraction = {
         "docs": (reps_4_16[0]["runs"][4] if reps_4_16 else runs_8_32[8])["docs"],
@@ -194,14 +221,25 @@ def main() -> None:
         "calib_chunks_per_sec": {
             str(c): v["calib_chunks_per_sec"] for c, v in by_core.items()
         },
+        "spark_over_control": {
+            str(c): (
+                round(v["docs_per_sec"] / v["control_docs_per_sec"], 3)
+                if v.get("control_docs_per_sec")
+                else None
+            )
+            for c, v in by_core.items()
+        },
         "pair_reps_4_16": [
             {
                 "docs_per_sec_4": r["runs"][4]["docs_per_sec"],
                 "docs_per_sec_16": r["runs"][16]["docs_per_sec"],
                 "calib_4": r["runs"][4]["calib_chunks_per_sec"],
                 "calib_16": r["runs"][16]["calib_chunks_per_sec"],
+                "control_4": r["runs"][4].get("control_docs_per_sec"),
+                "control_16": r["runs"][16].get("control_docs_per_sec"),
                 "eff_raw": r["eff_raw"],
                 "eff_norm": r["eff_norm"],
+                "eff_control": r["eff_control"],
             }
             for r in reps_4_16
         ],
@@ -211,8 +249,12 @@ def main() -> None:
         "scaling_efficiency_4_to_16_steal_normalized": round(
             median(r["eff_norm"] for r in reps_4_16), 3
         ),
+        "scaling_efficiency_4_to_16_control_normalized": round(
+            median(r["eff_control"] for r in reps_4_16), 3
+        ),
         "scaling_efficiency_8_to_32": e832_raw,
         "scaling_efficiency_8_to_32_steal_normalized": e832_norm,
+        "scaling_efficiency_8_to_32_control_normalized": e832_ctrl,
     }
     wall32 = by_core.get(32, {}).get("wall_sec")
     if wall32 is not None:

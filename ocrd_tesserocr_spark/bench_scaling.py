@@ -39,6 +39,47 @@ def calibrate(cores: int) -> float:
     return round(cores / (time.time() - t0), 3)
 
 
+CONTROL_DOCS = 60_000
+
+
+def kernel_control(cores: int, pages_path: str) -> float:
+    """No-framework control: the identical extraction kernel over a fixed
+    corpus slice under plain multiprocessing, adjacent in time to the Spark
+    run.  spark_docs_per_sec / control_docs_per_sec is the engine-overhead
+    ratio the machine's noise cannot fake: both sides see the same steal
+    regime AND the same memory/branch patterns (unlike the arithmetic
+    calibration probe, which under-reacts to hypervisor pressure that hits
+    many-threaded JVM+Python trees harder than a tight loop)."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    from ocrd_tesserocr_spark import bench_scaling as me
+
+    htmls = (
+        pq.read_table(pages_path, columns=["html"])
+        .slice(0, CONTROL_DOCS)
+        .column("html")
+        .to_pylist()
+    )
+    chunks = [htmls[i :: cores * 4] for i in range(cores * 4)]
+    t0 = time.time()
+    with mp.Pool(cores) as pool:
+        total = sum(pool.map(me._control_chunk, chunks))
+    return round(total / (time.time() - t0), 1)
+
+
+def _control_chunk(htmls) -> int:
+    from ocrd_tesserocr_spark.oracle import extract_document
+    from ocrd_tesserocr_spark.plans import EXTRACT
+
+    n = 0
+    for h in htmls:
+        extract_document(h, EXTRACT)
+        n += 1
+    return n
+
+
 def run_level(cores: int, pages_path: str) -> dict:
     from ocrd_tesserocr_spark.pipeline import extract
     from ocrd_tesserocr_spark.plans import EXTRACT
@@ -64,12 +105,15 @@ def run_level(cores: int, pages_path: str) -> dict:
     out.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
     spark.stop()
+    control = kernel_control(cores, pages_path)
     return {
         "cores": cores,
         "docs": n_docs,
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1),
         "calib_chunks_per_sec": calib,
+        "control_docs_per_sec": control,
+        "spark_over_control": round(n_docs / wall / control, 3) if control else None,
     }
 
 

@@ -164,12 +164,170 @@ SELECT query_id, neighbor_id, rnk, sim FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# SIM3 — embedding-cosine near-dup: bucketed candidate pairs -> cosine gate
+# -> keeper (min vec_id).  The embedding-space member of the dedup family
+# (exact / MinHash-LSH / SimHash / n-gram Jaccard / cosine): candidates come
+# from the same sign-bucket equi-join as SIM2 (O(vectors) shuffle, never
+# O(n^2)), exact cosine runs only inside buckets.  The synthetic test
+# embeddings are random (no planted near-dups), so the default gate is
+# calibrated to that corpus; production text embeddings use ~0.9+.
+# ---------------------------------------------------------------------------
+COSINE_DUP_THRESHOLD = 0.40
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD) -> DataFrame:
+    """embeddings(vec_id, embedding) -> (keeper_vec_id, dup_vec_id, sim)."""
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        _bucket(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = a.join(c, "bucket").where(F.col("a.vec_id") < F.col("c.vec_id"))
+    cos = _dot(F.col("a.embedding"), F.col("c.embedding")) / (
+        F.col("a.nrm") * F.col("c.nrm")
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("keeper_vec_id"),
+            F.col("c.vec_id").alias("dup_vec_id"),
+            F.round(cos, 4).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return embedding_near_dup(emb)
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
+p AS (
+  SELECT a.vec_id AS keeper_vec_id, e.vec_id AS dup_vec_id, {_SQL_COS.replace('q.', 'a.')} AS sim
+  FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id)
+SELECT keeper_vec_id, dup_vec_id, sim FROM p WHERE sim >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SIM4 — IVF-style ANN: coarse quantizer (centroid assignment) + probes.
+# The inverted-file shape: every vector is assigned to its nearest centroid
+# (a narrow map against a broadcast centroid set), queries probe their
+# NPROBE nearest centroids, and exact cosine runs only inside probed cells —
+# an equi-join on centroid_id, O(vectors) shuffle.  The centroid set here is
+# a deterministic stand-in (the first N_CENTROIDS vectors); production runs
+# a k-means fit and broadcasts the trained centroids the same way.
+# ---------------------------------------------------------------------------
+N_CENTROIDS = 8
+NPROBE = 2
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = (
+        _emb(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_c = _dot(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    scored_c = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "nrm", "centroid_id", cos_c.alias("ccos")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    ranked_c = scored_c.withColumn("crnk", F.row_number().over(w_assign))
+    # inverted lists: rank-1 centroid per vector; queries keep NPROBE cells
+    assigned = ranked_c.where(F.col("crnk") == 1).select(
+        "vec_id", "embedding", "nrm", "centroid_id"
+    )
+    probes = (
+        ranked_c.where((F.col("vec_id") < N_QUERIES) & (F.col("crnk") <= NPROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            "centroid_id",
+        )
+    )
+    joined = assigned.join(F.broadcast(probes), "centroid_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
+    scored = joined.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 4).alias("sim")
+    ).distinct()  # a neighbor can surface via multiple probed cells
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "sim")
+    )
+
+
+_SQL_CCOS = """
+list_sum(list_transform(list_zip(e.embedding, c.cv),
+                        p -> p[1]::DOUBLE * p[2]::DOUBLE))
+/ (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+   * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+SQL_ANN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}),
+scored_c AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id, {_SQL_CCOS} AS ccos
+  FROM embeddings e, cent c),
+ranked_c AS (
+  SELECT vec_id, embedding, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, centroid_id ASC) AS crnk
+  FROM scored_c),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM ranked_c WHERE crnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qembedding, centroid_id
+  FROM ranked_c WHERE vec_id < {N_QUERIES} AND crnk <= {NPROBE}),
+cand AS (
+  SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(list_zip(q.qembedding, e.embedding),
+                                   p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.qembedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS sim
+  FROM assigned e JOIN probes q ON e.centroid_id = q.centroid_id
+  WHERE e.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM cand)
+SELECT query_id, neighbor_id, rnk, sim FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLE_SQL = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_bucketed": SQL_ANN_BUCKETED,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "ann_ivf": SQL_ANN_IVF,
 }

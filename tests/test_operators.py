@@ -288,3 +288,23 @@ def test_segment_level_presets_gate_emission():
     assert b["lines"] and b["lines"][0]["words"] == []
     word_out = extract_document(html, SEGMENT_WORD)
     assert word_out["blocks"][0]["lines"][0]["words"]
+
+
+def test_embedding_near_dup_finds_planted(spark):
+    """A planted duplicate vector must surface with sim ~1.0 and
+    min-id keeper."""
+    from pyspark.sql import functions as F
+
+    from ocrd_tesserocr_spark.operators.similarity import embedding_near_dup
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    clone = base.where(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = embedding_near_dup(
+        base.select("vec_id", "embedding").unionAll(clone), threshold=0.99
+    ).collect()
+    assert any(
+        r["keeper_vec_id"] == 7 and r["dup_vec_id"] == 100007 and r["sim"] >= 0.999
+        for r in out
+    )
