@@ -63,3 +63,45 @@ def test_filter_degenerate_scans_needed_columns_only(spark):
     assert "ReadSchema" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_no_python_eval_in_relational_queries(spark):
+    """No row-at-a-time Python anywhere: every oracle-checked query except
+    the declared mapInPandas kernels plans pure JVM operators."""
+    import __spark_entry__ as entry
+
+    ARROW_KERNELS = {"media_meta", "extract_flagship", "extract_block_spans"}
+    for name, fn in entry.queries().items():
+        if name in ARROW_KERNELS:
+            continue
+        plan = _plan(fn(spark, SF_ORACLE))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_ngram_jaccard_has_bounded_fanout(spark):
+    """The shingle df-cap must sit in the plan BEFORE the pair self-join:
+    a window count over h followed by a filter bounds per-key fanout."""
+    from ocrd_tesserocr_spark.operators.dedup import q_ngram_jaccard_stats
+
+    plan = _plan(q_ngram_jaccard_stats(spark, SF_ORACLE))
+    assert "Window" in plan
+    join_part = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    assert "64" in plan  # the cap literal survives into the filter
+
+
+def test_lsh_pairs_single_signature_dag(spark):
+    """The groupBy-bucket design plans the md5 signature computation ONCE
+    (no alias self-join doubling the DAG)."""
+    from ocrd_tesserocr_spark.operators.dedup import q_lsh_pairs
+
+    plan = _plan(q_lsh_pairs(spark, SF_ORACLE))
+    # each md5 appears in one projection chain only: count the scans
+    assert plan.count("Scan parquet") <= 1 or plan.count("ReusedExchange") >= 1
+
+
+def test_ann_ivf_broadcasts_probe_side(spark):
+    from ocrd_tesserocr_spark.operators.similarity import q_ann_ivf
+
+    plan = _plan(q_ann_ivf(spark, SF_ORACLE))
+    assert "Broadcast" in plan
