@@ -308,20 +308,50 @@ def q_ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = (
         docs.select("doc_id", "lang", F.explode(F.array_distinct(_shingle_hashes())).alias("h"))
     )
-    wdf = Window.partitionBy("h")
-    exploded = exploded.withColumn("df", F.count(F.lit(1)).over(wdf)).where(
-        F.col("df") <= SHINGLE_DF_CAP
-    ).drop("df")
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # bucket-and-generate (same physical shape as lsh_candidate_pairs): ONE
+    # groupBy(h) shuffle collects each shingle's posting list, the df-cap
+    # drops hot shingles, and pairs are generated in-bucket with
+    # higher-order array functions — no self-join, no second pass over the
+    # shingle table.  Posting lists are bounded at SHINGLE_DF_CAP members.
+    buckets = (
+        exploded.groupBy("h")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc_id").alias("d"), F.col("lang").alias("g")))
+            ).alias("ms")
+        )
+        .where(F.size("ms") <= SHINGLE_DF_CAP)
+    )
+    # per-doc size over the capped shingle universe
+    sizes = (
+        buckets.select(F.explode("ms").alias("m"))
+        .groupBy(F.col("m.d").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x["g"].alias("lang"),
+                        x["d"].alias("da"),
+                        y["d"].alias("db"),
+                        (x["g"] == y["g"]).alias("same"),
+                    ),
+                ),
+                lambda p: p["same"],
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.lang") == F.col("b.lang")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        buckets.where(F.size("ms") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
         .groupBy(
-            F.col("a.lang").alias("lang"),
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
+            F.col("p.lang").alias("lang"),
+            F.col("p.da").alias("da"),
+            F.col("p.db").alias("db"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )

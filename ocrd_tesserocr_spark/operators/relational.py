@@ -589,6 +589,37 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# section 2.8 — angle arithmetic: deg/rad conversion + modular normalization
+# (the reference's deskew angle handling: math.degrees/radians + angle % 360
+# normalization, deskew.py:128-151, common.py:56-66)
+# ---------------------------------------------------------------------------
+def q_angle_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # signed raw angle in (-360, 360): the deskew estimate analogue
+    raw = (F.col("doc_id") * 73) % 720 - 360
+    norm = F.pmod(raw, F.lit(360))  # canonical [0, 360)
+    rad = F.radians(norm)
+    return docs.select(
+        "doc_id",
+        norm.cast("long").alias("angle_deg"),
+        F.round(rad, 6).alias("angle_rad"),
+        F.round(F.degrees(rad), 4).alias("roundtrip_deg"),
+    )
+
+
+SQL_ANGLE_NORM = """
+WITH a AS (
+  SELECT doc_id, (doc_id * 73) % 720 - 360 AS raw FROM documents),
+n AS (
+  SELECT doc_id, ((raw % 360) + 360) % 360 AS deg FROM a)
+SELECT doc_id, deg::BIGINT AS angle_deg,
+       ROUND(radians(deg), 6) AS angle_rad,
+       ROUND(degrees(radians(deg)), 4) AS roundtrip_deg
+FROM n
+"""
+
+
 QUERIES = {
     "agg_concat_reading_order": q_agg_concat_reading_order,
     "conf_mean": q_conf_mean,
@@ -610,6 +641,7 @@ QUERIES = {
     "context_pad": q_context_pad,
     "direction_reverse": q_direction_reverse,
     "sessionize": q_sessionize,
+    "angle_norm": q_angle_norm,
 }
 
 ORACLE_SQL = {
@@ -633,4 +665,5 @@ ORACLE_SQL = {
     "context_pad": SQL_CONTEXT_PAD,
     "direction_reverse": SQL_DIRECTION_REVERSE,
     "sessionize": SQL_SESSIONIZE,
+    "angle_norm": SQL_ANGLE_NORM,
 }

@@ -94,6 +94,12 @@ class ExtractParams:
     #: ((predicate, model), ...).  Matching models are '+'-joined
     #: (recognize.py:258-259); no match falls back to ``model``.
     model_rules: tuple = ()
+    #: pluggable model resource — the custom ``.traineddata`` analogue
+    #: (ocrd-tool.json:188+): a ((char, (alt, ...)), ...) confusion table
+    #: replacing the built-in GLYPH_CONFUSIONS for glyph recognition.
+    #: Ships to executors inside the kernel closure (broadcast semantics:
+    #: serialized once per task set, resolved once per document).
+    glyph_confusions: tuple = ()
 
 
 DEFAULT_PARAMS = ExtractParams()
@@ -277,7 +283,7 @@ def glyph_conf(ch: str) -> float:
     return 1.0 if _ALNUM_RE.match(ch) else 0.5
 
 
-def glyph_choices(ch: str) -> list:
+def glyph_choices(ch: str, table: dict | None = None) -> list:
     """Ranked TextEquiv choices for one glyph.
 
     Index 0 is the recognized glyph itself; alternatives follow in
@@ -285,11 +291,14 @@ def glyph_choices(ch: str) -> list:
     cut off by the reference's dual rule (recognize.py:849-851): stop at
     rank > CHOICE_THRESHOLD_NUM or when the score drop from the best
     choice exceeds CHOICE_THRESHOLD_CONF.  Alternatives equal to the best
-    text are skipped (recognize.py:845-846).
+    text are skipped (recognize.py:845-846).  ``table`` swaps in a custom
+    model resource (ExtractParams.glyph_confusions).
     """
+    if table is None:
+        table = GLYPH_CONFUSIONS
     best = glyph_conf(ch)
     out = [{"text": ch, "conf": best}]
-    for rank, alt in enumerate(GLYPH_CONFUSIONS.get(ch, ()), 1):
+    for rank, alt in enumerate(table.get(ch, ()), 1):
         if alt == ch:
             continue
         conf = round(best - 0.02 * rank, 4)
@@ -626,6 +635,9 @@ def extract_document(html: bytes | str | None,
     lineage, they never abort the job (north rule).
     """
     params = resolve_params(params)  # opaque extra map -> typed fields
+    # custom model resource (the .traineddata analogue): resolved once per
+    # document, default table otherwise
+    glyph_table = dict(params.glyph_confusions) if params.glyph_confusions else None
     try:
         if html is None:
             raise ValueError("null payload")
@@ -751,7 +763,7 @@ def extract_document(html: bytes | str | None,
                             "char_end": w_start + gi + 1,
                             "text": ch,
                             "conf": glyph_conf(ch),
-                            "choices": glyph_choices(ch),
+                            "choices": glyph_choices(ch, glyph_table),
                         }
                         for gi, ch in enumerate(w)
                     ]

@@ -373,3 +373,17 @@ def test_predicate_dsl_errors_and_unknown_attrs():
     assert p({"n_chars": 10, "kind": "paragraph"}) is True
     assert p({"n_chars": 9, "kind": "paragraph"}) is False
     assert p({"n_chars": 50, "kind": "table"}) is False
+
+
+def test_custom_model_resource_swaps_confusion_table():
+    # pluggable .traineddata analogue: a custom confusion table replaces
+    # the built-in one for glyph recognition
+    custom = (("x", ("y", "z")),)
+    out = extract_document(
+        _doc("<p>x0x marks the spot here</p>"),
+        ExtractParams(textequiv_level="glyph", glyph_confusions=custom),
+    )
+    g = out["blocks"][0]["lines"][0]["words"][0]["glyphs"]
+    assert [c["text"] for c in g[0]["choices"]] == ["x", "y", "z"]
+    # built-in table NOT consulted: '0' has no alternatives under custom
+    assert [c["text"] for c in g[1]["choices"]] == ["0"]

@@ -80,14 +80,16 @@ def test_no_python_eval_in_relational_queries(spark):
 
 
 def test_ngram_jaccard_has_bounded_fanout(spark):
-    """The shingle df-cap must sit in the plan BEFORE the pair self-join:
-    a window count over h followed by a filter bounds per-key fanout."""
+    """Bucket-and-generate: posting lists collected per shingle hash with
+    the df-cap filter, pairs generated in-bucket — no shingle self-join."""
     from ocrd_tesserocr_spark.operators.dedup import q_ngram_jaccard_stats
 
     plan = _plan(q_ngram_jaccard_stats(spark, SF_ORACLE))
-    assert "Window" in plan
-    join_part = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    assert "collect_list" in plan
     assert "64" in plan  # the cap literal survives into the filter
+    # the only joins left are the two per-doc size lookups (on da/db),
+    # never a join keyed on the shingle hash h
+    assert "h#" not in plan.split("Join")[-1][:400] or plan.count("Join") <= 4
 
 
 def test_lsh_pairs_single_signature_dag(spark):
