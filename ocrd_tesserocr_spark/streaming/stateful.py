@@ -73,6 +73,89 @@ def _dedup_fn(
         )
 
 
+# ---------------------------------------------------------------------------
+# stateful sessionization: the streaming twin of relational.q_sessionize
+# (gap rule shared: a >1800 s silence closes the session).  State carries the
+# open session per user across micro-batches; closed sessions are emitted
+# when a later batch proves the gap, or when the processing-time timeout
+# fires with no new data.
+# ---------------------------------------------------------------------------
+SESSION_GAP_SEC = 1800
+SESSION_IDLE_FLUSH_MS = 1_800_000  # idle flush mirrors the gap rule
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start_epoch", T.LongType(), False),
+        T.StructField("session_end_epoch", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_epoch", T.LongType(), False),
+        T.StructField("last_epoch", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+
+def _session_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    user_id = key[0]
+    closed = []
+    if state.hasTimedOut:
+        # idle flush: the open session ends at its last event
+        start, last, n = state.get
+        closed.append((user_id, start, last, n))
+        state.remove()
+    else:
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if batches:
+            rows = pd.concat(batches).sort_values(["epoch", "event_id"])
+            for e in rows["epoch"]:
+                e = int(e)
+                if last is not None and e - last > SESSION_GAP_SEC:
+                    closed.append((user_id, start, last, n))
+                    start, n = e, 0
+                if start is None:
+                    start = e
+                n += 1
+                last = e
+        if start is not None:
+            state.update((start, last, n))
+            state.setTimeoutDuration(SESSION_IDLE_FLUSH_MS)
+    yield pd.DataFrame(
+        closed,
+        columns=["user_id", "session_start_epoch", "session_end_epoch", "n_events"],
+    ).astype("int64", errors="ignore")
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Streaming events(user_id, event_id, ts) -> closed sessions.
+
+    The epoch projection is JVM-side; the Arrow state function sees only
+    (user_id, event_id, epoch) — same no-per-row-Python invariant."""
+    keyed = events.select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("epoch")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def dedup_stream(pages: DataFrame) -> DataFrame:
     """Streaming pages -> first-seen rows per content hash.
 

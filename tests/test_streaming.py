@@ -77,3 +77,63 @@ def test_stateful_dedup_stream_across_batches(spark, pages_small, tmp_path):
     hashes = [r["content_hash"] for r in rows]
     assert len(hashes) == len(set(hashes)) == n1
     assert not any(r["url"].startswith("https://re.example/") for r in rows)
+
+
+def test_stateful_sessionize_stream_gap_across_batches(spark, tmp_path):
+    """A >30-min silence between micro-batches closes the session: the
+    state carries the open session until a later batch proves the gap."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from ocrd_tesserocr_spark.streaming.stateful import sessionize_stream
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    src = str(tmp_path / "ev_in")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ck")
+
+    batch1 = spark.createDataFrame(
+        [(1, 1, t0), (1, 2, t0 + dt.timedelta(seconds=60)),
+         (2, 3, t0)], schema)
+    batch1.coalesce(1).write.parquet(src)
+
+    def run_available():
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_available()
+    # nothing closed yet: both sessions still open in state
+    assert spark.read.parquet(out).where("user_id is not null").count() == 0
+
+    # user 1 returns after a 4000 s gap -> their first session closes;
+    # user 2 stays silent (would close via the idle timeout in a live run)
+    batch2 = spark.createDataFrame(
+        [(1, 4, t0 + dt.timedelta(seconds=4060))], schema)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    run_available()
+
+    rows = [r for r in spark.read.parquet(out).collect()
+            if r["user_id"] is not None]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["session_end_epoch"] - r["session_start_epoch"] == 60
