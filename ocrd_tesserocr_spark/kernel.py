@@ -121,9 +121,28 @@ def _block_tuple(b: dict) -> tuple:
 def make_extract_fn(params: ExtractParams):
     """Bind params into a mapInPandas function (facade pattern: the
     reference's processor subclasses are parameter presets over one core,
-    /root/reference/ocrd_tesserocr/segment.py:17-24)."""
+    /root/reference/ocrd_tesserocr/segment.py:17-24).
+
+    Config validation happens HERE, on the driver, before any job
+    launches: a malformed ``extra`` value or rule predicate raises at plan
+    time instead of failing executor tasks (the analogue of the
+    reference's JSON-Schema parameter validation at processor init)."""
+    from .oracle import compile_predicate, resolve_params
+
+    resolve_params(params)  # raises on malformed typed overrides
+    for expr, pairs in params.block_rules:
+        compile_predicate(expr)
+        _coerce_check(pairs)
+    for expr, _model in params.model_rules:
+        compile_predicate(expr)
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return extract_batches(it, params)
 
     return fn
+
+
+def _coerce_check(pairs) -> None:
+    from .oracle import _coerce_overrides
+
+    _coerce_overrides(pairs)

@@ -193,3 +193,19 @@ def test_recompute_stage_lower_level(spark, pages_small, tmp_path):
         params=EXTRACT, num_partitions=2,
     )
     assert r3["doc_count"] == 0
+
+
+def test_malformed_config_fails_fast_on_driver(spark, pages_small):
+    """A malformed extra value or rule predicate must raise at plan time
+    (make_extract_fn), never inside executor tasks."""
+    import pytest
+
+    from ocrd_tesserocr_spark.oracle import ExtractParams
+    from ocrd_tesserocr_spark.pipeline import extract
+
+    with pytest.raises(ValueError):
+        extract(spark, pages_small,
+                ExtractParams(extra=(("min_paragraph_chars", "not-an-int"),)))
+    with pytest.raises(ValueError):
+        extract(spark, pages_small,
+                ExtractParams(block_rules=(("kind ~~ junk", ()),)))

@@ -67,3 +67,61 @@ def test_salted_repartition_flattens_skewed_hosts(spark, pages_small):
     for r in counts:
         # no partition holds anywhere near the 30% hot-host share
         assert r["count"] < 0.25 * total
+
+
+_attrs = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(["paragraph", "heading", "table", "noise"]),
+        "n_chars": st.integers(0, 5000),
+        "link_density": st.floats(0, 1, allow_nan=False),
+        "text_density": st.floats(0, 500, allow_nan=False),
+        "rtl": st.booleans(),
+        "join": st.booleans(),
+    }
+)
+_clause = st.sampled_from(
+    ["kind=paragraph", "kind!=table", "n_chars>100", "n_chars<=42",
+     "link_density>=0.5", "rtl=true", "join=false", "nosuch=1"]
+)
+_pred = st.lists(_clause, min_size=1, max_size=3).map(" and ".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_pred, _attrs)
+def test_predicate_dsl_total_on_valid_exprs(expr, attrs):
+    """Every well-formed predicate evaluates to a bool on any attrs —
+    never an exception (rules run per block in the hot kernel)."""
+    from ocrd_tesserocr_spark.oracle import compile_predicate
+
+    assert compile_predicate(expr)(attrs) in (True, False)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["min_paragraph_chars", "max_link_density", "oem", "dpi"]
+            ),
+            st.sampled_from(["1", "0.5", "64", "true"]),
+        ),
+        max_size=4,
+    )
+)
+def test_extra_params_never_crash_extraction(pairs):
+    """Arbitrary opaque engine-parameter maps (valid typed values or
+    unknown names) must never break extraction."""
+    from ocrd_tesserocr_spark.oracle import ExtractParams, extract_document
+
+    # skip type-invalid combos the schema would reject upfront
+    try:
+        from ocrd_tesserocr_spark.oracle import resolve_params
+
+        resolve_params(ExtractParams(extra=tuple(pairs)))
+    except ValueError:
+        return
+    out = extract_document(
+        b"<html><body><p>sturdy paragraph with enough text</p></body></html>",
+        ExtractParams(extra=tuple(pairs)),
+    )
+    assert isinstance(out["failed"], bool)
