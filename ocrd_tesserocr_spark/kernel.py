@@ -127,14 +127,7 @@ def make_extract_fn(params: ExtractParams):
     launches: a malformed ``extra`` value or rule predicate raises at plan
     time instead of failing executor tasks (the analogue of the
     reference's JSON-Schema parameter validation at processor init)."""
-    from .oracle import compile_predicate, resolve_params
-
-    resolve_params(params)  # raises on malformed typed overrides
-    for expr, pairs in params.block_rules:
-        compile_predicate(expr)
-        _coerce_check(pairs)
-    for expr, _model in params.model_rules:
-        compile_predicate(expr)
+    _validate(params)
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return extract_batches(it, params)
@@ -146,3 +139,60 @@ def _coerce_check(pairs) -> None:
     from .oracle import _coerce_overrides
 
     _coerce_overrides(pairs)
+
+
+def _validate(params: ExtractParams) -> None:
+    from .oracle import compile_predicate, resolve_params
+
+    resolve_params(params)
+    for expr, pairs in params.block_rules:
+        compile_predicate(expr)
+        _coerce_check(pairs)
+    for expr, _model in params.model_rules:
+        compile_predicate(expr)
+
+
+def make_extract_arrow_fn(params: ExtractParams):
+    """mapInArrow variant: build the output RecordBatch directly with
+    declared Arrow types instead of routing nested structs through pandas
+    object columns.
+
+    The pandas path's per-row type inference over the nested
+    blocks->lines->words(->glyphs) tree costs ~10x the block-level payload
+    (measured: 13s block vs 147s word on 40k pages); constructing
+    ``pa.array(..., type=...)`` from the oracle's plain dicts keeps the
+    whole conversion in Arrow's C++ builders.  Semantics are identical —
+    both paths serialize the same extract_document output."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .schemas import EXTRACTED_SCHEMA
+
+    _validate(params)
+    aschema = to_arrow_schema(EXTRACTED_SCHEMA)
+    blocks_t = aschema.field("blocks").type
+    feats_t = aschema.field("features").type
+
+    def fn(it):
+        pid = _partition_id()
+        for rb in it:
+            names = rb.schema.names
+            urls = rb.column(names.index("url"))
+            htmls = rb.column(names.index("html")).to_pylist()
+            recs = [extract_document(h, params) for h in htmls]
+            n = len(recs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    urls.cast(pa.string()) if urls.type != pa.string() else urls,
+                    pa.array([r["text"] for r in recs], type=pa.string()),
+                    pa.array([r["conf"] for r in recs], type=pa.float64()),
+                    pa.array([r["blocks"] for r in recs], type=blocks_t),
+                    pa.array([r["features"] for r in recs], type=feats_t),
+                    pa.array([r["failed"] for r in recs], type=pa.bool_()),
+                    pa.array([pid] * n, type=pa.int32()),
+                ],
+                schema=aschema,
+            )
+
+    return fn

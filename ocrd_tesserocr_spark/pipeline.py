@@ -59,10 +59,15 @@ def extract(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     # explicit pruning: the kernel reads only (url, html) — Catalyst cannot
-    # see inside mapInPandas, so without this select the shuffle would carry
-    # every pages column
+    # see inside the Python map, so without this select the shuffle would
+    # carry every pages column
     pages = salted_repartition(pages.select("url", "html"), num_partitions, salt)
-    return pages.mapInPandas(make_extract_fn(params), schema=EXTRACTED_SCHEMA)
+    # mapInArrow: the kernel builds RecordBatches with declared Arrow types
+    # directly — the pandas object-column path costs ~10x on the nested
+    # word/glyph hierarchy (see kernel.make_extract_arrow_fn)
+    from .kernel import make_extract_arrow_fn
+
+    return pages.mapInArrow(make_extract_arrow_fn(params), schema=EXTRACTED_SCHEMA)
 
 
 def lineage_from_extracted(

@@ -18,7 +18,9 @@ def test_extraction_has_single_exchange(spark, pages_small):
 
     plan = _plan(extract(spark, pages_small, num_partitions=4))
     assert plan.count("Exchange") == 1
-    assert "MapInPandas" in plan
+    # the kernel is the single MapInArrow node above the Exchange (direct
+    # RecordBatch construction; no pandas object-column inference)
+    assert "MapInArrow" in plan
 
 
 def test_cosine_topk_broadcasts_query_side(spark):
