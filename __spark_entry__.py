@@ -85,8 +85,11 @@ def oracle_sql() -> dict[str, str]:
     # oracles for font_style/media_meta read the deterministic pages cache;
     # materialize it (pure pyarrow, no Spark) so the SQL runs regardless of
     # whether the Spark query ran first
+    from ocrd_tesserocr_spark.corpus import materialize_words
+
     try:
         materialize_pages("/root/testdata/sf0.01")
+        materialize_words("/root/testdata/sf0.01")
     except Exception:
         pass  # cache is best-effort; the Spark query side also materializes
     _, o = all_queries()

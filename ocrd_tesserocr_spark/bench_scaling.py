@@ -80,7 +80,15 @@ def _control_chunk(htmls) -> int:
     return n
 
 
+def _timed_chunk_sec() -> float:
+    t = time.time()
+    _calib_chunk(0)
+    return round(time.time() - t, 3)
+
+
 def run_level(cores: int, pages_path: str) -> dict:
+    import threading
+
     from ocrd_tesserocr_spark.pipeline import extract
     from ocrd_tesserocr_spark.plans import EXTRACT
     from ocrd_tesserocr_spark.session import get_spark
@@ -92,20 +100,39 @@ def run_level(cores: int, pages_path: str) -> dict:
     pages = spark.read.parquet(pages_path)
     n_docs = pages.count()
 
-    # warmup: spin up Python workers / Arrow channels
+    # warmup: spin up Python workers / Arrow channels (also yields a wall
+    # estimate for scheduling the mid-window probe)
+    t_w = time.time()
     extract(spark, pages.limit(4000), EXTRACT, num_partitions=cores).write.format(
         "noop"
     ).mode("overwrite").save()
+    est_wall = (time.time() - t_w) * (n_docs / 4000.0) * 0.5  # crude, good enough
 
     # 8 tasks/core: fine enough that last-wave stragglers cost little,
     # coarse enough that per-task overhead stays negligible
     calib = calibrate(cores)
+    # mid-SPARK-window calibration (VERDICT r2 item 1c): one single-core
+    # arithmetic chunk timed from a background thread while the Spark job
+    # is mid-flight, so a degraded hypervisor window is visible INSIDE the
+    # leg, not just before/after it.  At cores < nproc the probe runs on a
+    # free core; at local[32] it contends with Spark itself, so compare
+    # mid/pre with that in mind.
+    pre_chunk_sec = _timed_chunk_sec()
+    mid: dict = {}
+
+    def _mid_probe() -> None:
+        time.sleep(max(3.0, min(30.0, est_wall * 0.4)))
+        mid["chunk_sec"] = _timed_chunk_sec()
+
+    th = threading.Thread(target=_mid_probe, daemon=True)
+    th.start()
     t0 = time.time()
     out = extract(spark, pages, EXTRACT, num_partitions=8 * cores)
     out.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
     spark.stop()
     control = kernel_control(cores, pages_path)
+    mid_chunk = mid.get("chunk_sec")
     return {
         "cores": cores,
         "docs": n_docs,
@@ -114,6 +141,12 @@ def run_level(cores: int, pages_path: str) -> dict:
         "calib_chunks_per_sec": calib,
         "control_docs_per_sec": control,
         "spark_over_control": round(n_docs / wall / control, 3) if control else None,
+        "pre_calib_chunk_sec": pre_chunk_sec,
+        "mid_calib_chunk_sec": mid_chunk,
+        # >1 means the machine slowed down DURING the Spark window
+        "mid_over_pre": (
+            round(mid_chunk / pre_chunk_sec, 3) if mid_chunk and pre_chunk_sec else None
+        ),
     }
 
 

@@ -30,6 +30,61 @@ import json
 import sys
 
 
+def _add_param_args(sp) -> None:
+    sp.add_argument(
+        "--param",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="override one engine parameter (tesseract_parameters analogue; "
+        "repeatable): typed names like min_paragraph_chars/model/auto_model "
+        "override the preset, unknown names pass through opaquely",
+    )
+    sp.add_argument(
+        "--rules",
+        default=None,
+        metavar="RULES.json",
+        help="per-segment rule file (xpath_parameters/xpath_model analogue): "
+        '{"block_rules": [[predicate, [[k, v], ...]], ...], '
+        '"model_rules": [[predicate, model], ...]}',
+    )
+
+
+def apply_cli_params(params, param_opts, rules_path):
+    """Fold --param/--rules onto a preset's ExtractParams, then run the
+    driver-side validation so malformed input fails HERE, not in tasks."""
+    from dataclasses import replace
+
+    from .kernel import _validate
+
+    if param_opts:
+        pairs = []
+        for kv in param_opts:
+            if "=" not in kv:
+                raise SystemExit(f"--param expects K=V, got {kv!r}")
+            k, _, v = kv.partition("=")
+            pairs.append((k, v))
+        params = replace(params, extra=tuple(params.extra) + tuple(pairs))
+    if rules_path:
+        with open(rules_path) as f:
+            spec = json.load(f)
+        if "block_rules" in spec:
+            params = replace(
+                params,
+                block_rules=tuple(
+                    (expr, tuple((k, str(v)) for k, v in pairs))
+                    for expr, pairs in spec["block_rules"]
+                ),
+            )
+        if "model_rules" in spec:
+            params = replace(
+                params,
+                model_rules=tuple((expr, m) for expr, m in spec["model_rules"]),
+            )
+    _validate(params)
+    return params
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ocrd-tesserocr-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -42,6 +97,7 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--partitions", type=int, default=None)
     ex.add_argument("--no-resume", action="store_true")
     ex.add_argument("--master", default=None)
+    _add_param_args(ex)
 
     rc = sub.add_parser(
         "recompute",
@@ -55,6 +111,7 @@ def build_parser() -> argparse.ArgumentParser:
     rc.add_argument("--overwrite-text", action="store_true")
     rc.add_argument("--partitions", type=int, default=None)
     rc.add_argument("--master", default=None)
+    _add_param_args(rc)
 
     fs = sub.add_parser(
         "fontshape", help="per-page inline style counts (TextStyle analogue)"
@@ -99,7 +156,7 @@ def main(argv: list[str] | None = None) -> int:
             from .pipeline import run_stage
             from .plans import PRESETS
 
-            params = PRESETS[args.preset]
+            params = apply_cli_params(PRESETS[args.preset], args.param, args.rules)
             pages = spark.read.parquet(args.input)
             res = run_stage(
                 spark,
@@ -122,7 +179,9 @@ def main(argv: list[str] | None = None) -> int:
                 args.committed,
                 args.output,
                 level=args.level,
-                params=PRESETS[args.preset],
+                params=apply_cli_params(
+                    PRESETS[args.preset], args.param, args.rules
+                ),
                 overwrite_text=args.overwrite_text,
                 num_partitions=args.partitions,
             )

@@ -276,3 +276,60 @@ def pages_records(sf_dir: str) -> list:
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     pdf = t.to_pandas()
     return pages_from_documents_pdf(pdf).to_dict("records")
+
+
+def materialize_words(sf_dir: str) -> str:
+    """Write the flat per-word TextStyle table the pure-Python oracle
+    produces for ``sf_dir`` to a cache parquet and return the path.
+
+    Columns (url, word_id, bold, italic, monospace): the DuckDB side of
+    the ``font_style_words`` correctness gate — DuckDB aggregates this
+    oracle-extracted table while Spark aggregates the kernel-extracted
+    word structs, so the gate checks kernel-vs-oracle style parity AND
+    the Spark aggregation.  Test/oracle infrastructure only.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .oracle import extract_document
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(
+        repo_root, ".cache", "words_%s.parquet" % os.path.basename(sf_dir.rstrip("/"))
+    )
+    if os.path.exists(out):
+        return out
+    urls: list = []
+    wids: list = []
+    bold: list = []
+    ital: list = []
+    mono: list = []
+    for r in pages_records(sf_dir):
+        doc = extract_document(r["html"])
+        for b in doc["blocks"]:
+            for ln in b["lines"]:
+                for w in ln["words"]:
+                    urls.append(r["url"])
+                    wids.append(w["word_id"])
+                    s = w["style"]
+                    bold.append(s["bold"])
+                    ital.append(s["italic"])
+                    mono.append(s["monospace"])
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "word_id": pa.array(wids, type=pa.string()),
+                "bold": pa.array(bold, type=pa.bool_()),
+                "italic": pa.array(ital, type=pa.bool_()),
+                "monospace": pa.array(mono, type=pa.bool_()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+    return out

@@ -98,6 +98,11 @@ def _block_tuple(b: dict) -> tuple:
                         w["char_end"],
                         w["text"],
                         w["conf"],
+                        (
+                            w["style"]["bold"],
+                            w["style"]["italic"],
+                            w["style"]["monospace"],
+                        ),
                         [
                             (
                                 g["glyph_id"],

@@ -409,12 +409,17 @@ JACCARD_THRESHOLD = 0.6
 
 def q_near_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).where(F.size(F.split(F.col("text"), " ")) >= 3)
-    # persist the shingle table: it feeds the LSH signature branch AND both
-    # verification sides — at cluster scale this is the standard
-    # MEMORY_AND_DISK checkpoint of the shingle pass
+    # materialize the shingle table once: it feeds the LSH signature branch
+    # AND both verification sides.  localCheckpoint (not persist): blocks
+    # are released by the ContextCleaner as soon as the query's DataFrame
+    # is garbage-collected, so a long-lived session running the whole
+    # suite doesn't accrete cached shingle tables (persist() would pin
+    # them until an explicit unpersist the caller never gets to make).
+    # At cluster scale the equivalent is a reliable checkpoint / staged
+    # table between the shingle pass and its three consumers.
     with_h = docs.select(
         "doc_id", F.array_distinct(_shingle_hashes()).alias("hs")
-    ).persist()
+    ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(docs, hs_df=with_h).select(
         F.col("doc_a").alias("da"), F.col("doc_b").alias("db")
     )
@@ -478,9 +483,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 200
     transitive closure); ``max_iter`` is a safety bound well above any
     plausible near-dup-cluster diameter, and exceeding it raises rather
     than silently returning unconverged labels."""
-    adj = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # materialize the edge list ONCE before the loop: edges is typically the
+    # LSH candidate DAG (shingle md5 + band shuffle), and without the
+    # checkpoint every iteration would re-execute that whole subtree.
+    adj = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
     labels = nodes.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
     converged = False
     for _ in range(max_iter):
@@ -489,12 +501,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 200
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_min"))
         )
+        # checkpoint FIRST (one execution of the join per iteration), then
+        # derive `changed` from the materialized labels — a cheap join of
+        # two checkpointed tables, not a second run of the propagation.
         new_labels = (
             labels.join(nbr, labels.node == nbr.src, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("comp"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -503,7 +519,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 200
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per iter
+        labels = new_labels
         if changed == 0:
             converged = True
             break

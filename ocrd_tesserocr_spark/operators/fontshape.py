@@ -46,6 +46,32 @@ def q_font_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     return font_style_counts(pages, text_col=F.col("html_str"))
 
 
+def q_font_style_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word TextStyle rollup (fontshape.py:125-140: WordFontAttributes
+    -> TextStyleType(bold/italic/monospace) on every Word).
+
+    Spark side: the REAL extraction kernel emits ``style`` structs on each
+    word; this explodes blocks->lines->words and counts styled words per
+    url.  Oracle side: DuckDB aggregates the pure-Python oracle's
+    materialized word table — so the gate covers kernel-vs-oracle style
+    parity and the Spark aggregation in one query."""
+    from ..corpus import pages_df
+    from ..pipeline import extract
+
+    out = extract(spark, pages_df(spark, sf_dir))
+    w = (
+        out.select("url", F.explode("blocks").alias("b"))
+        .select("url", F.explode("b.lines").alias("l"))
+        .select("url", F.explode("l.words").alias("w"))
+    )
+    return w.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("w.style.bold").cast("long")).alias("n_bold"),
+        F.sum(F.col("w.style.italic").cast("long")).alias("n_italic"),
+        F.sum(F.col("w.style.monospace").cast("long")).alias("n_monospace"),
+    )
+
+
 def _sf001_cache() -> str:
     # the driver's correctness gate runs at sf0.01; the static oracle SQL
     # below points at that corpus' cache (materialized by oracle_sql())
@@ -61,5 +87,23 @@ SELECT url,
 FROM read_parquet('{_sf001_cache()}')
 """
 
-QUERIES = {"font_style": q_font_style}
-ORACLE_SQL = {"font_style": SQL_FONT_STYLE}
+def _words_cache() -> str:
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, ".cache", "words_sf0.01.parquet")
+
+
+SQL_FONT_STYLE_WORDS = f"""
+SELECT url,
+       COUNT(*)::BIGINT AS n_words,
+       count_if(bold)::BIGINT AS n_bold,
+       count_if(italic)::BIGINT AS n_italic,
+       count_if(monospace)::BIGINT AS n_monospace
+FROM read_parquet('{_words_cache()}')
+GROUP BY url
+"""
+
+QUERIES = {"font_style": q_font_style, "font_style_words": q_font_style_words}
+ORACLE_SQL = {
+    "font_style": SQL_FONT_STYLE,
+    "font_style_words": SQL_FONT_STYLE_WORDS,
+}

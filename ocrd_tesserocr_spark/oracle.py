@@ -100,6 +100,17 @@ class ExtractParams:
     #: Ships to executors inside the kernel closure (broadcast semantics:
     #: serialized once per task set, resolved once per document).
     glyph_confusions: tuple = ()
+    #: in-kernel auto model selection (recognize.py:266-277): when True
+    #: and the effective model is a '+'-joined list, every candidate is
+    #: scored on the block (MeanTextConf analogue) and the argmax wins —
+    #: the winner is recorded in block.model and its confusion table
+    #: drives glyph recognition for that block.
+    auto_model: bool = False
+    #: named model resources for auto_model scoring: ((model_name,
+    #: ((char, (alt, ...)), ...)), ...) — each candidate model's
+    #: confusion table (its .traineddata analogue).  A model without an
+    #: entry falls back to glyph_confusions / the built-in table.
+    model_resources: tuple = ()
 
 
 DEFAULT_PARAMS = ExtractParams()
@@ -116,12 +127,26 @@ _TYPED_FIELDS = {
     "max_link_density": float,
     "textequiv_level": str,
     "segment_only": lambda v: v.lower() in ("1", "true", "yes"),
+    "auto_model": lambda v: v.lower() in ("1", "true", "yes"),
     "model": str,
 }
 
 _PRED_CLAUSE_RE = re.compile(
     r"^\s*([a-z_]+)\s*(>=|<=|!=|=|>|<)\s*(\S+)\s*$"
 )
+
+#: fixed attribute schema the rule predicates evaluate against (the
+#: block-classification inputs assembled in extract_document); typing the
+#: RHS literal at COMPILE time lets a mistyped rule like 'n_chars>ten'
+#: fail driver-side in _validate instead of killing executor tasks.
+_PRED_ATTR_TYPES = {
+    "kind": str,
+    "n_chars": float,
+    "link_density": float,
+    "text_density": float,
+    "rtl": bool,
+    "join": bool,
+}
 
 
 @lru_cache(maxsize=1024)
@@ -131,26 +156,35 @@ def compile_predicate(expr: str):
     The web-DOM stand-in for the reference's XPath predicates over PAGE
     segments (recognize.py:238-240): attribute comparisons joined with
     'and'.  Unknown attributes never match (mirrors an XPath query that
-    selects nothing).
+    selects nothing).  RHS literals are coerced against the fixed attr
+    schema HERE, so a type-mismatched rule raises at plan time.
     """
     clauses = []
     for part in expr.split(" and "):
         m = _PRED_CLAUSE_RE.match(part)
         if not m:
             raise ValueError(f"bad predicate clause: {part!r}")
-        clauses.append((m.group(1), m.group(2), m.group(3)))
+        name, op, raw = m.group(1), m.group(2), m.group(3)
+        typ = _PRED_ATTR_TYPES.get(name)
+        if typ is bool:
+            want = raw.lower() in ("1", "true", "yes")
+        elif typ is float:
+            try:
+                want = float(raw)
+            except ValueError:
+                raise ValueError(
+                    f"predicate clause {part!r}: {name} is numeric, "
+                    f"got non-numeric literal {raw!r}"
+                )
+        else:
+            want = raw  # str attr, or unknown attr (never matches anyway)
+        clauses.append((name, op, want))
 
     def test(attrs: dict) -> bool:
-        for name, op, raw in clauses:
+        for name, op, want in clauses:
             if name not in attrs:
                 return False
             actual = attrs[name]
-            if isinstance(actual, bool):
-                want = raw.lower() in ("1", "true", "yes")
-            elif isinstance(actual, (int, float)):
-                want = float(raw)
-            else:
-                want = raw
             if op == "=":
                 ok = actual == want
             elif op == "!=":
@@ -233,12 +267,15 @@ _BLOCK_KIND = {
 }
 # void block tags that carry no text
 _VOID_KIND = {"hr": "separator", "img": "image"}
+# inline style tags -> TextStyle bits (fontshape.py:125-140 analogue)
+_STYLE_BITS = {"b": 1, "i": 2, "code": 4}
 # content inside these is masked out entirely (binarize.py:106-110 analogue)
 _SKIP_CONTENT = {"script", "style", "template", "noscript", "title"}
 # boilerplate containers: descendants are noise (NoiseRegion analogue)
 _BOILERPLATE = {"nav", "header", "footer", "aside"}
 
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_WORD_RE = re.compile(r"\S+")
 _ALNUM_RE = re.compile(r"[0-9A-Za-z\u00c0-\u024f\u0590-\u06ff\u4e00-\u9fff]")
 
 # ---------------------------------------------------------------------------
@@ -309,6 +346,36 @@ def glyph_choices(ch: str, table: dict | None = None) -> list:
 
 
 @lru_cache(maxsize=65536)
+def _model_table(params: "ExtractParams", model: str) -> dict:
+    """Resolve one candidate model's confusion table (its .traineddata
+    analogue): named entry in ``model_resources``, else the document-level
+    custom table, else the built-in."""
+    for name, table in params.model_resources:
+        if name == model:
+            return dict(table)
+    return dict(params.glyph_confusions) if params.glyph_confusions else GLYPH_CONFUSIONS
+
+
+def model_block_score(line_words: list, table: dict) -> float:
+    """MeanTextConf analogue (recognize.py:270-273) for one candidate
+    model over one block: mean per-glyph confidence, where a glyph listed
+    in the model's confusion table is ambiguous under that model and
+    scores 0.25 below its base conf.  A model whose confusions overlap
+    the block's glyphs less scores higher — the argmax is the model that
+    'reads' the block most confidently."""
+    total = 0.0
+    n = 0
+    for words in line_words:
+        for w, _ in words:
+            for ch in w:
+                c = glyph_conf(ch)
+                if ch in table:
+                    c -= 0.25
+                total += c
+                n += 1
+    return total / n if n else 0.0
+
+
 def word_conf(word: str) -> float:
     """Deterministic per-word confidence in [0.5, 1.0].
 
@@ -374,6 +441,9 @@ class _BlockParser:
         self._boiler_depth = 0
         self._dir_stack: list[bool] = []  # rtl flags from dir= attrs
         self._dir_tags: list[str] = []
+        # open b/i/code depths -> current style bits for text parts
+        self._style_depth = {"b": 0, "i": 0, "code": 0}
+        self._style_bits = 0
 
     # -- scanner -----------------------------------------------------------
     def feed(self, html: str) -> None:
@@ -499,10 +569,17 @@ class _BlockParser:
         if tag == "br":
             top = self._top()
             if top is not None:
-                top.parts.append(("\n", False))
+                top.parts.append(("\n", False, 0))
             return
         if tag == "a":
             self._link_depth += 1
+            top = self._top()
+            if top is not None:
+                top.tag_count += 1
+            return
+        if tag in _STYLE_BITS:
+            self._style_depth[tag] += 1
+            self._style_bits |= _STYLE_BITS[tag]
             top = self._top()
             if top is not None:
                 top.tag_count += 1
@@ -518,7 +595,7 @@ class _BlockParser:
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
-        if tag not in _VOID_KIND and tag not in ("br", "a") and tag in _BLOCK_KIND:
+        if tag in _BLOCK_KIND or tag in _STYLE_BITS:
             self.handle_endtag(tag)
 
     def handle_endtag(self, tag: str) -> None:
@@ -539,6 +616,13 @@ class _BlockParser:
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
             return
+        if tag in _STYLE_BITS:
+            d = self._style_depth
+            if d[tag] > 0:
+                d[tag] -= 1
+                if d[tag] == 0:
+                    self._style_bits &= ~_STYLE_BITS[tag]
+            return
         if tag in _BLOCK_KIND:
             # close innermost matching open block (lenient like the parser)
             self._close_implicit()
@@ -555,11 +639,13 @@ class _BlockParser:
             # keep a single separator between inline siblings, but never
             # open an implicit block on pure whitespace
             if top is not None and top.parts:
-                top.parts.append((" ", False))
+                top.parts.append((" ", False, 0))
             return
         if top is None:
             top = self._implicit()
-        top.parts.append((_WS_RE.sub(" ", data), self._link_depth > 0))
+        top.parts.append(
+            (_WS_RE.sub(" ", data), self._link_depth > 0, self._style_bits)
+        )
 
 
 # --------------------------------------------------------------------------
@@ -575,21 +661,41 @@ def _assemble_block(raw: _RawBlock) -> dict:
     (recognize.py:782-814); RTL blocks reverse word order per line
     (common.py:138-151).
     """
-    text = "".join(p for p, _ in raw.parts)
+    text = "".join(p for p, _, _ in raw.parts)
     total_chars = 0
     link_chars = 0
-    for part, in_link in raw.parts:
+    any_style = False
+    for part, in_link, sbits in raw.parts:
         n = len(part.replace(" ", "").replace("\n", ""))
         total_chars += n
         if in_link:
             link_chars += n
+        if sbits:
+            any_style = True
+    # per-char style bits (only materialized when a style tag occurred):
+    # a word's TextStyle is the OR of the bits of its characters, so a
+    # word assembled across a style boundary (e.g. foo<b>bar</b>) still
+    # carries the style — mirroring WordFontAttributes being per-word
+    char_styles: list[int] | None = None
+    if any_style:
+        char_styles = []
+        for part, _, sbits in raw.parts:
+            char_styles.extend([sbits] * len(part))
     lines = []
+    offset = 0
     for seg in text.split("\n"):
-        words = seg.split()
+        words = []
+        for m in _WORD_RE.finditer(seg):
+            sbits = 0
+            if char_styles is not None:
+                for b in char_styles[offset + m.start() : offset + m.end()]:
+                    sbits |= b
+            words.append((m.group(0), sbits))
+        offset += len(seg) + 1
         if not words:
             continue
         if raw.rtl:
-            words = list(reversed(words))
+            words.reverse()
         lines.append(words)
     if raw.btt:
         # bottom-to-top textLineOrder reverses line traversal
@@ -609,7 +715,7 @@ def _assemble_block(raw: _RawBlock) -> dict:
 
 
 def _block_canonical_text(line_words: list) -> str:
-    return "\n".join(" ".join(ws) for ws in line_words)
+    return "\n".join(" ".join(w for w, _ in ws) for ws in line_words)
 
 
 def classify_is_main(kind: str, n_chars: int, link_density: float,
@@ -684,10 +790,24 @@ def extract_document(html: bytes | str | None,
             "join": a["join"],
         }
         eff, model = _block_effective(params, attrs)
+        # in-kernel auto_model (recognize.py:266-277): '+'-joined candidates
+        # are each scored on THIS block; the argmax (first on ties, like
+        # np.argmax) becomes the block's model and its confusion table
+        # drives glyph recognition below
+        block_glyph_table = glyph_table
+        if eff.auto_model and "+" in model:
+            cands = model.split("+")
+            scores = [
+                model_block_score(a["line_words"], _model_table(params, m))
+                for m in cands
+            ]
+            best = max(range(len(cands)), key=lambda i: (scores[i], -i))
+            model = cands[best]
+            block_glyph_table = _model_table(params, model)
         is_main = classify_is_main(
             a["kind"], a["n_chars"], a["link_density"], eff
         )
-        if params.segment_only:
+        if eff.segment_only:
             is_main_out = is_main
             blocks.append(
                 {
@@ -742,7 +862,7 @@ def extract_document(html: bytes | str | None,
             l_start = pos
             words_out = []
             wconfs = []
-            for wi, w in enumerate(words):
+            for wi, (w, sbits) in enumerate(words):
                 if wi > 0:
                     doc_parts.append(" ")
                     pos += 1
@@ -763,7 +883,7 @@ def extract_document(html: bytes | str | None,
                             "char_end": w_start + gi + 1,
                             "text": ch,
                             "conf": glyph_conf(ch),
-                            "choices": glyph_choices(ch, glyph_table),
+                            "choices": glyph_choices(ch, block_glyph_table),
                         }
                         for gi, ch in enumerate(w)
                     ]
@@ -774,6 +894,11 @@ def extract_document(html: bytes | str | None,
                         "char_end": pos,
                         "text": w,
                         "conf": c,
+                        "style": {
+                            "bold": bool(sbits & 1),
+                            "italic": bool(sbits & 2),
+                            "monospace": bool(sbits & 4),
+                        },
                         "glyphs": glyphs,
                     }
                 )
@@ -784,7 +909,7 @@ def extract_document(html: bytes | str | None,
                     "line_id": "%s_line%04d" % (block_id, li),
                     "char_start": l_start,
                     "char_end": pos,
-                    "text": " ".join(words),
+                    "text": " ".join(w for w, _ in words),
                     "conf": lconf,
                     "words": words_out,
                 }

@@ -59,6 +59,17 @@ GLYPH_STRUCT = T.StructType(
     ]
 )
 
+# per-word TextStyle (fontshape.py:125-140 WordFontAttributes ->
+# TextStyleType(bold/italic/monospace)); read from the inline b/i/code
+# ancestry of the word's characters instead of a font model
+STYLE_STRUCT = T.StructType(
+    [
+        T.StructField("bold", T.BooleanType(), False),
+        T.StructField("italic", T.BooleanType(), False),
+        T.StructField("monospace", T.BooleanType(), False),
+    ]
+)
+
 WORD_STRUCT = T.StructType(
     [
         T.StructField("word_id", T.StringType(), False),
@@ -66,6 +77,7 @@ WORD_STRUCT = T.StructType(
         T.StructField("char_end", T.LongType(), False),
         T.StructField("text", T.StringType(), False),
         T.StructField("conf", T.DoubleType(), False),
+        T.StructField("style", STYLE_STRUCT, False),
         # empty unless textequiv_level='glyph' (recognize.py:816-856)
         T.StructField("glyphs", T.ArrayType(GLYPH_STRUCT), False),
     ]

@@ -30,8 +30,18 @@ def pages_stream(spark: SparkSession, input_dir: str, max_files: int = 16) -> Da
 def extract_stream(
     pages: DataFrame, params: ExtractParams = DEFAULT_PARAMS
 ) -> DataFrame:
-    """Streaming extraction: identical kernel, streaming plan."""
-    return pages.mapInPandas(make_extract_fn(params), schema=EXTRACTED_SCHEMA)
+    """Streaming extraction: identical kernel, streaming plan.
+
+    Uses the mapInArrow kernel when the streaming runtime supports it
+    (same RecordBatch construction as the batch path — skips the nested-
+    struct pandas conversion tax); the mapInPandas kernel is the
+    fallback for runtimes where mapInArrow is batch-only."""
+    try:
+        from ..kernel import make_extract_arrow_fn
+
+        return pages.mapInArrow(make_extract_arrow_fn(params), schema=EXTRACTED_SCHEMA)
+    except Exception:
+        return pages.mapInPandas(make_extract_fn(params), schema=EXTRACTED_SCHEMA)
 
 
 def start_to_parquet(

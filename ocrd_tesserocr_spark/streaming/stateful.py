@@ -1,16 +1,18 @@
-"""Custom stateful streaming operator: cross-batch exact dedup.
+"""Custom stateful streaming operators: cross-batch exact dedup and
+event-time sessionization.
 
 ``applyInPandasWithState`` keyed by content hash keeps a first-seen flag in
 the state store, so duplicates arriving in LATER micro-batches are dropped —
-the streaming twin of ``dedup.q_exact_dedup`` (keeper = first arrival, which
-under deterministic replay equals min ingestion order).  This is the
-"custom stateful operator" surface of the engine: state lives in Spark's
-checkpointed state store, so a restarted stream resumes with its dedup
-memory intact (exactly-once with the file sink).
+the streaming twin of ``dedup.q_exact_dedup`` (keeper = lexicographic min
+url within the first-seen batch; deterministic under replay because the min
+is taken over ALL Arrow chunks of the group, not just the first).  State
+lives in Spark's checkpointed state store, so a restarted stream resumes
+with its dedup memory intact (exactly-once with the file sink).
 
 At scale the state store shards by the same hash key the groupBy shuffles
-on; state per key is one boolean + the keeper url, so 10^12 documents cost
-~tens of bytes/key spread over the cluster's state backends.
+on; state per key is one boolean + the keeper url + a cumulative drop
+counter, so 10^12 documents cost ~tens of bytes/key spread over the
+cluster's state backends.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ _STATE_SCHEMA = T.StructType(
     [
         T.StructField("seen", T.BooleanType(), False),
         T.StructField("keeper_url", T.StringType(), False),
+        T.StructField("n_dropped", T.LongType(), False),
     ]
 )
 
@@ -46,28 +49,38 @@ def _dedup_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """First arrival per content_hash is emitted; later rows (same batch or
-    any later batch) only increment the drop counter."""
+    any later batch) only increment the cumulative drop counter in state.
+
+    The keeper decision is made only AFTER draining every Arrow chunk of
+    the group: Arrow may split one group across chunks, and a chunk-local
+    min would make the keeper depend on chunk boundaries (nondeterministic
+    replay).  The emitted ``n_dropped`` covers the first-seen batch; the
+    running total across all batches lives in state (append output mode
+    cannot revise an already-emitted row).
+    """
     content_hash = key[0]
-    dropped = 0
-    first_url = None
+    total = 0
+    min_url = None
     for pdf in pdfs:
-        if not state.exists and first_url is None:
-            # deterministic keeper within the batch: lexicographic min url
-            first_url = pdf["url"].min()
-            dropped += len(pdf) - 1
-        else:
-            dropped += len(pdf)
+        if not len(pdf):
+            continue
+        total += len(pdf)
+        chunk_min = pdf["url"].min()
+        if min_url is None or chunk_min < min_url:
+            min_url = chunk_min
     if state.exists:
-        (seen, keeper) = state.get
+        seen, keeper, n_dropped = state.get
+        state.update((True, keeper, n_dropped + total))
         yield pd.DataFrame(
             {"content_hash": [], "url": [], "n_dropped": []}
         ).astype({"content_hash": str, "url": str, "n_dropped": "int64"})
     else:
-        state.update((True, first_url))
+        dropped = total - 1
+        state.update((True, min_url, dropped))
         yield pd.DataFrame(
             {
                 "content_hash": [content_hash],
-                "url": [first_url],
+                "url": [min_url],
                 "n_dropped": [dropped],
             }
         )
@@ -76,12 +89,18 @@ def _dedup_fn(
 # ---------------------------------------------------------------------------
 # stateful sessionization: the streaming twin of relational.q_sessionize
 # (gap rule shared: a >1800 s silence closes the session).  State carries the
-# open session per user across micro-batches; closed sessions are emitted
-# when a later batch proves the gap, or when the processing-time timeout
-# fires with no new data.
+# open session per user across micro-batches.
+#
+# EVENT-time variant (the default): the stream carries a watermark, the
+# open-session state merges late (out-of-order) events by interval overlap,
+# and the idle flush is an EventTimeTimeout at last_event + gap — so a late
+# event that belongs INSIDE the open session widens it instead of corrupting
+# the gap arithmetic, and sessions close exactly when the watermark proves
+# no in-window event can still arrive.
 # ---------------------------------------------------------------------------
 SESSION_GAP_SEC = 1800
-SESSION_IDLE_FLUSH_MS = 1_800_000  # idle flush mirrors the gap rule
+SESSION_WATERMARK = "30 minutes"  # late-data bound = the gap rule
+SESSION_IDLE_FLUSH_MS = 1_800_000  # processing-time variant's idle flush
 
 SESSION_OUT_SCHEMA = T.StructType(
     [
@@ -101,15 +120,86 @@ _SESSION_STATE_SCHEMA = T.StructType(
 )
 
 
-def _session_fn(
+def _session_fn_event(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    """Event-time sessionization with out-of-order merge.
+
+    Incoming epochs (plus the open session from state, as a pre-counted
+    interval) are merged with the standard interval-union rule under the
+    gap: a late event within [start-gap, last+gap] of an interval joins
+    it; bridged intervals coalesce.  Every merged interval except the
+    latest is provably closed (any event that could extend it would have
+    to be later than watermark allows); the latest stays open in state
+    with an event-time timeout at last + gap.
+    """
     user_id = key[0]
     closed = []
     if state.hasTimedOut:
-        # idle flush: the open session ends at its last event
+        start, last, n = state.get
+        closed.append((user_id, start, last, n))
+        state.remove()
+    else:
+        intervals: list[list[int]] = []
+        if state.exists:
+            intervals.append(list(state.get))
+        epochs: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                epochs.extend(int(e) for e in pdf["epoch"])
+        for e in sorted(epochs):
+            for iv in intervals:
+                if iv[0] - SESSION_GAP_SEC <= e <= iv[1] + SESSION_GAP_SEC:
+                    if e < iv[0]:
+                        iv[0] = e
+                    if e > iv[1]:
+                        iv[1] = e
+                    iv[2] += 1
+                    break
+            else:
+                intervals.append([e, e, 1])
+        intervals.sort()
+        merged: list[list[int]] = []
+        for iv in intervals:
+            if merged and iv[0] - merged[-1][1] <= SESSION_GAP_SEC:
+                if iv[1] > merged[-1][1]:
+                    merged[-1][1] = iv[1]
+                merged[-1][2] += iv[2]
+            else:
+                merged.append(iv)
+        if merged:
+            for start, last, n in merged[:-1]:
+                closed.append((user_id, start, last, n))
+            start, last, n = merged[-1]
+            wm_ms = state.getCurrentWatermarkMs()
+            if (last + SESSION_GAP_SEC) * 1000 <= wm_ms:
+                # watermark already proves the silence: close now
+                closed.append((user_id, start, last, n))
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((start, last, n))
+                state.setTimeoutTimestamp((last + SESSION_GAP_SEC) * 1000)
+    yield pd.DataFrame(
+        closed,
+        columns=["user_id", "session_start_epoch", "session_end_epoch", "n_events"],
+    ).astype("int64", errors="ignore")
+
+
+def _session_fn_proc(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Processing-time variant (kept for the late-data comparison test):
+    correct on in-order streams, but a late event rewinds ``last`` and can
+    close a session that isn't over — the defect the event-time variant
+    fixes."""
+    user_id = key[0]
+    closed = []
+    if state.hasTimedOut:
         start, last, n = state.get
         closed.append((user_id, start, last, n))
         state.remove()
@@ -140,15 +230,32 @@ def _session_fn(
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:
-    """Streaming events(user_id, event_id, ts) -> closed sessions.
+    """Streaming events(user_id, event_id, ts) -> closed sessions
+    (event-time: watermarked, late-data-safe).
 
     The epoch projection is JVM-side; the Arrow state function sees only
     (user_id, event_id, epoch) — same no-per-row-Python invariant."""
+    # `ts` must survive the projection: it carries the watermark tag the
+    # event-time timeout is validated against
+    keyed = events.withWatermark("ts", SESSION_WATERMARK).select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("epoch"), "ts"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _session_fn_event,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def sessionize_stream_proc(events: DataFrame) -> DataFrame:
+    """Processing-time sessionization (legacy; see _session_fn_proc)."""
     keyed = events.select(
         "user_id", "event_id", F.unix_timestamp("ts").alias("epoch")
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+        _session_fn_proc,
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",

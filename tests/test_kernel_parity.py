@@ -49,6 +49,16 @@ def test_block_structures_match(extracted_rows, oracle_records):
                 assert [w["text"] for w in gl["words"]] == [
                     w["text"] for w in el["words"]
                 ]
+                # per-word TextStyle parity (fontshape.py:125-140)
+                assert [
+                    (w["style"]["bold"], w["style"]["italic"],
+                     w["style"]["monospace"])
+                    for w in gl["words"]
+                ] == [
+                    (w["style"]["bold"], w["style"]["italic"],
+                     w["style"]["monospace"])
+                    for w in el["words"]
+                ]
 
 
 def test_structural_invariants(extracted_rows):
@@ -107,8 +117,8 @@ def test_glyph_preset_round_trip(spark, pages_small):
         for gb, eb in zip(row["blocks"], exp["blocks"]):
             for gl, el in zip(gb[11], eb["lines"]):
                 for gw, ew in zip(gl[5], el["words"]):
-                    assert [g[3] for g in gw[5]] == [g["text"] for g in ew["glyphs"]]
-                    assert [g[5] for g in gw[5]] == [
+                    assert [g[3] for g in gw[6]] == [g["text"] for g in ew["glyphs"]]
+                    assert [g[5] for g in gw[6]] == [
                         [(c["text"], c["conf"]) for c in g["choices"]]
                         for g in ew["glyphs"]
                     ]

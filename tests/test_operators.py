@@ -253,6 +253,54 @@ def test_cli_extract_end_to_end(tmp_path, pages_small, spark):
     assert read_manifest(out)[0]["doc_count"] == 50
 
 
+def test_cli_param_and_rules_files(tmp_path, pages_small, spark):
+    """--param K=V (repeatable) and --rules rules.json reach ExtractParams
+    through the existing driver-side validation (VERDICT r2 item 8)."""
+    import json
+
+    import pytest
+
+    from ocrd_tesserocr_spark.cli import apply_cli_params, main
+    from ocrd_tesserocr_spark.plans import PRESETS
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "out_rules")
+    pages_small.limit(30).write.parquet(src)
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps({
+        "block_rules": [["kind=paragraph and link_density>0.5",
+                         [["max_link_density", "1.0"]]]],
+        "model_rules": [["kind=heading", "eng_best"]],
+    }))
+    rc = main([
+        "extract", "--preset", "extract", "--input", src, "--output", out,
+        "--partitions", "2", "--param", "min_paragraph_chars=5",
+        "--param", "oem=1", "--rules", str(rules),
+    ])
+    assert rc == 0
+    from ocrd_tesserocr_spark.pipeline import read_manifest
+
+    assert read_manifest(out)[0]["doc_count"] == 30
+
+    # the fold is visible on the params object itself
+    p = apply_cli_params(
+        PRESETS["extract"], ["min_paragraph_chars=5"], str(rules))
+    assert ("min_paragraph_chars", "5") in p.extra
+    assert p.model_rules == (("kind=heading", "eng_best"),)
+
+    # malformed input fails fast, driver-side
+    with pytest.raises(SystemExit):
+        apply_cli_params(PRESETS["extract"], ["no-equals-sign"], None)
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"block_rules": [["kind ~~ junk", []]]}))
+    with pytest.raises(ValueError):
+        apply_cli_params(PRESETS["extract"], [], str(bad))
+    bad2 = tmp_path / "bad2.json"
+    bad2.write_text(json.dumps({"block_rules": [["n_chars>ten", []]]}))
+    with pytest.raises(ValueError):
+        apply_cli_params(PRESETS["extract"], [], str(bad2))
+
+
 def test_connected_components_chain(spark):
     """Planted chain A-B, B-C, isolated D -> {A,B,C} one component, D alone."""
     from ocrd_tesserocr_spark.operators.dedup import connected_components
@@ -261,6 +309,38 @@ def test_connected_components_chain(spark):
     edges = spark.createDataFrame([(2, 3), (1, 2)], ["doc_a", "doc_b"])
     comp = {r["doc_id"]: r["component_id"] for r in connected_components(nodes, edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_connected_components_evaluates_edges_once(spark):
+    """The edge DAG (= the md5-heavy LSH subtree in production) must be
+    materialized exactly once, not re-executed per propagation iteration:
+    an accumulator inside the edge source counts partition evaluations."""
+    from pyspark.sql import types as T
+
+    from ocrd_tesserocr_spark.operators.dedup import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tag(it):
+        for row in it:
+            acc.add(1)
+            yield row
+
+    raw = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], ["doc_a", "doc_b"]
+    ).coalesce(1)
+    schema = T.StructType([
+        T.StructField("doc_a", T.LongType()), T.StructField("doc_b", T.LongType())
+    ])
+    edges = spark.createDataFrame(raw.rdd.mapPartitions(tag), schema)
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    comp = {r["doc_id"]: r["component_id"]
+            for r in connected_components(nodes, edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+    # chain 1-2-3-4 needs >1 iteration; rows seen must be exactly 2x the
+    # edge count (the symmetrized union scans the source twice) — i.e. the
+    # source was evaluated once, before the loop
+    assert acc.value == 8
 
 
 def test_cli_fontshape_and_recompute_surface(capsys):

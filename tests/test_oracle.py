@@ -373,6 +373,114 @@ def test_predicate_dsl_errors_and_unknown_attrs():
     assert p({"n_chars": 10, "kind": "paragraph"}) is True
     assert p({"n_chars": 9, "kind": "paragraph"}) is False
     assert p({"n_chars": 50, "kind": "table"}) is False
+    # type-mismatched RHS fails at COMPILE time (driver-side), never in
+    # the executor: 'n_chars>ten' must not survive _validate
+    with pytest.raises(ValueError, match="non-numeric"):
+        compile_predicate("n_chars>ten")
+    with pytest.raises(ValueError, match="non-numeric"):
+        compile_predicate("kind=paragraph and link_density>=high")
+    # and the kernel's plan-time validation surfaces it too
+    from ocrd_tesserocr_spark.kernel import _validate
+    from ocrd_tesserocr_spark.oracle import ExtractParams
+
+    with pytest.raises(ValueError):
+        _validate(ExtractParams(block_rules=(("n_chars>ten", ()),)))
+
+
+def test_auto_model_picks_planted_better_model():
+    """In-kernel auto_model (recognize.py:266-277; mirrors
+    test_recognize.py:132-139): with model='fraktur+eng' and auto_model
+    on, every candidate is scored per block and the planted better model
+    (whose confusions overlap the block's glyphs less) wins, is recorded
+    in block.model, and its confusion table drives glyph choices."""
+    html = _doc("<p>hello yellow fellow, all will fall tall oll</p>")
+    # 'fraktur' is confused about 'l' (ubiquitous here) -> low score;
+    # 'eng' is only confused about 'z' (absent) -> high score
+    params = ExtractParams(
+        model="fraktur+eng",
+        auto_model=True,
+        textequiv_level="glyph",
+        model_resources=(
+            ("fraktur", (("l", ("t", "i")),)),
+            ("eng", (("z", ("s",)),)),
+        ),
+    )
+    out = extract_document(html, params)
+    [blk] = [b for b in out["blocks"] if b["is_main"]]
+    assert blk["model"] == "eng"
+    # glyph choices come from the WINNER's table: no 'l' alternatives
+    glyphs = [g for ln in blk["lines"] for w in ln["words"] for g in w["glyphs"]]
+    l_glyphs = [g for g in glyphs if g["text"] == "l"]
+    assert l_glyphs and all(len(g["choices"]) == 1 for g in l_glyphs)
+    # flipping the planted tables flips the winner (and its choices)
+    params2 = ExtractParams(
+        model="fraktur+eng",
+        auto_model=True,
+        textequiv_level="glyph",
+        model_resources=(
+            ("fraktur", (("z", ("s",)),)),
+            ("eng", (("l", ("t", "i")),)),
+        ),
+    )
+    out2 = extract_document(html, params2)
+    [blk2] = [b for b in out2["blocks"] if b["is_main"]]
+    assert blk2["model"] == "fraktur"
+    # without auto_model the '+'-joined tag is recorded verbatim
+    out3 = extract_document(html, ExtractParams(model="fraktur+eng"))
+    assert all(b["model"] == "fraktur+eng" for b in out3["blocks"])
+    # auto_model is reachable through the opaque extra map too
+    out4 = extract_document(
+        html,
+        ExtractParams(
+            model="fraktur+eng",
+            extra=(("auto_model", "true"),),
+            model_resources=(
+                ("fraktur", (("l", ("t", "i")),)),
+                ("eng", ()),
+            ),
+        ),
+    )
+    assert [b["model"] for b in out4["blocks"] if b["is_main"]] == ["eng"]
+
+
+def test_word_style_from_inline_ancestry():
+    """Per-word TextStyle (fontshape.py:125-140): b/i/code ancestry sets
+    bold/italic/monospace; a word assembled across a style boundary keeps
+    the style; nesting ORs the bits; styles never leak past the close."""
+    out = extract_document(_doc(
+        "<p>plain <b>bold <i>both</i></b> after foo<code>bar</code> "
+        "tail words fill out the paragraph</p>"
+    ))
+    ws = {w["text"]: w["style"] for b in out["blocks"]
+          for ln in b["lines"] for w in ln["words"]}
+    assert ws["plain"] == {"bold": False, "italic": False, "monospace": False}
+    assert ws["bold"] == {"bold": True, "italic": False, "monospace": False}
+    assert ws["both"] == {"bold": True, "italic": True, "monospace": False}
+    assert ws["after"] == {"bold": False, "italic": False, "monospace": False}
+    assert ws["foobar"]["monospace"] is True and ws["foobar"]["bold"] is False
+    assert ws["tail"] == {"bold": False, "italic": False, "monospace": False}
+    # self-closing style tag must not leak its bit
+    out2 = extract_document(_doc("<p>alpha <b/> beta gamma delta long enough text</p>"))
+    ws2 = {w["text"]: w["style"] for b in out2["blocks"]
+           for ln in b["lines"] for w in ln["words"]}
+    assert all(not s["bold"] for s in ws2.values())
+
+
+def test_block_rule_segment_only_override():
+    """segment_only is block-rule-overridable: a matched block is
+    segmented (classified, ordered) but NOT recognized — empty text,
+    no doc-offset contribution."""
+    html = _doc(
+        "<h2>Head</h2><p>plain main content paragraph text</p>"
+    )
+    rules = (("kind=heading", (("segment_only", "true"),)),)
+    out = extract_document(html, ExtractParams(block_rules=rules))
+    # the heading is classified but unrecognized; the paragraph is intact
+    head = [b for b in out["blocks"] if b["kind"] == "heading"]
+    assert head and head[0]["text"] == "" and head[0]["char_start"] == -1
+    assert out["text"] == "plain main content paragraph text"
+    base = extract_document(html)
+    assert [b for b in base["blocks"] if b["kind"] == "heading"][0]["text"] != ""
 
 
 def test_custom_model_resource_swaps_confusion_table():

@@ -104,6 +104,27 @@ def test_lsh_pairs_single_signature_dag(spark):
     assert plan.count("Scan parquet") <= 1 or plan.count("ReusedExchange") >= 1
 
 
+def test_md5_subtree_not_duplicated_across_signature_columns(spark):
+    """CollapseProject must NOT inline the expensive shingle-md5 map into
+    each of the 16 signature columns: the optimized plan carries exactly
+    one md5 subtree (Catalyst keeps a separate project for non-cheap
+    expressions referenced more than once — this locks that in)."""
+    from ocrd_tesserocr_spark.operators.dedup import (
+        q_lsh_pairs,
+        q_minhash_signature,
+        q_simhash,
+    )
+
+    spark.conf.set("spark.sql.maxToStringFields", "10000")
+    try:
+        for q in (q_minhash_signature, q_lsh_pairs, q_simhash):
+            df = q(spark, SF_ORACLE)
+            opt = df._jdf.queryExecution().optimizedPlan().toString()
+            assert opt.count("md5") == 1, q.__name__
+    finally:
+        spark.conf.unset("spark.sql.maxToStringFields")
+
+
 def test_ann_ivf_broadcasts_probe_side(spark):
     from ocrd_tesserocr_spark.operators.similarity import q_ann_ivf
 

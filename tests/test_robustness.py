@@ -96,6 +96,25 @@ def test_predicate_dsl_total_on_valid_exprs(expr, attrs):
     assert compile_predicate(expr)(attrs) in (True, False)
 
 
+_num_attr = st.sampled_from(["n_chars", "link_density", "text_density"])
+_bad_lit = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+).filter(lambda s: s not in ("inf", "infinity", "nan"))
+
+
+@settings(max_examples=100, deadline=None)
+@given(_num_attr, st.sampled_from([">", "<", ">=", "<=", "=", "!="]), _bad_lit)
+def test_predicate_dsl_rejects_nonnumeric_rhs_at_compile(attr, op, lit):
+    """A non-numeric literal against a numeric attr raises at COMPILE time
+    (so driver-side _validate catches it before any executor task runs)."""
+    import pytest
+
+    from ocrd_tesserocr_spark.oracle import compile_predicate
+
+    with pytest.raises(ValueError):
+        compile_predicate(f"{attr}{op}{lit}")
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     st.lists(

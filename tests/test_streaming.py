@@ -125,7 +125,11 @@ def test_stateful_sessionize_stream_gap_across_batches(spark, tmp_path):
     assert spark.read.parquet(out).where("user_id is not null").count() == 0
 
     # user 1 returns after a 4000 s gap -> their first session closes;
-    # user 2 stays silent (would close via the idle timeout in a live run)
+    # user 2 stays silent -> closes via the EVENT-time timeout once the
+    # watermark (advanced by user 1's late event) passes t0 + gap.  Whether
+    # that timeout fires inside this run or a later no-data micro-batch is
+    # runtime-dependent, so user 2's row is optional but, if present, must
+    # be the correct single-event session.
     batch2 = spark.createDataFrame(
         [(1, 4, t0 + dt.timedelta(seconds=4060))], schema)
     batch2.coalesce(1).write.mode("append").parquet(src)
@@ -133,7 +137,125 @@ def test_stateful_sessionize_stream_gap_across_batches(spark, tmp_path):
 
     rows = [r for r in spark.read.parquet(out).collect()
             if r["user_id"] is not None]
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert len(u1) == 1
+    r = u1[0]
+    assert r["n_events"] == 2
+    assert r["session_end_epoch"] - r["session_start_epoch"] == 60
+    for r2 in (r for r in rows if r["user_id"] == 2):
+        assert r2["n_events"] == 1
+        assert r2["session_start_epoch"] == r2["session_end_epoch"]
+
+
+def test_sessionize_event_time_merges_late_events(spark, tmp_path):
+    """Out-of-order data: a late event inside the open session must WIDEN
+    it, not rewind the gap arithmetic.  The processing-time variant would
+    set last=the late epoch and falsely close the session on the next
+    event (2500-500=2000>1800); the event-time variant merges by interval
+    overlap and keeps one session open."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from ocrd_tesserocr_spark.streaming.stateful import sessionize_stream
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def sec(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def run_available():
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    spark.createDataFrame([(7, 1, sec(1000))], schema).coalesce(1).write.parquet(src)
+    run_available()
+    # late event at t=500 (within the 30-min watermark), then t=2500:
+    # 2500-1000=1500 <= gap, so the session 500..2500 is still open —
+    # nothing may close
+    spark.createDataFrame([(7, 2, sec(500))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_available()
+    spark.createDataFrame([(7, 3, sec(2500))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_available()
+    assert spark.read.parquet(out).where("user_id is not null").count() == 0
+
+    # a far-future event proves the gap: the merged session closes as
+    # (500, 2500, 3 events) — byte-for-byte what batch q_sessionize gives
+    spark.createDataFrame([(7, 4, sec(99999))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_available()
+    rows = [r for r in spark.read.parquet(out).collect()
+            if r["user_id"] is not None]
     assert len(rows) == 1
     r = rows[0]
-    assert r["user_id"] == 1 and r["n_events"] == 2
-    assert r["session_end_epoch"] - r["session_start_epoch"] == 60
+    assert (r["session_start_epoch"], r["session_end_epoch"], r["n_events"]) == (
+        int(sec(500).timestamp()), int(sec(2500).timestamp()), 3)
+
+
+def test_dedup_fn_keeper_spans_chunks():
+    """The keeper must be the min url across ALL Arrow chunks of the group,
+    and later batches accumulate the drop counter in state (unit-level:
+    fake GroupState, multi-chunk iterator)."""
+    import pandas as pd
+
+    from ocrd_tesserocr_spark.streaming.stateful import _dedup_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    st = FakeState()
+    chunks = iter([
+        pd.DataFrame({"url": ["https://z.example/9", "https://m.example/5"]}),
+        pd.DataFrame({"url": ["https://a.example/1", "https://q.example/7"]}),
+    ])
+    [out] = list(_dedup_fn(("h1",), chunks, st))
+    assert list(out["url"]) == ["https://a.example/1"]  # min sits in chunk 2
+    assert list(out["n_dropped"]) == [3]
+    assert st.get == (True, "https://a.example/1", 3)
+
+    # later batch: same hash, 2 more dupes -> cumulative counter in state
+    [out2] = list(_dedup_fn(("h1",), iter([pd.DataFrame({"url": ["x", "y"]})]), st))
+    assert len(out2) == 0
+    assert st.get == (True, "https://a.example/1", 5)
