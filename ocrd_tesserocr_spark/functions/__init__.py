@@ -4,16 +4,18 @@ Every helper here has two faces: a PySpark Column expression and a SQL
 template string that DuckDB evaluates to the *same value* — the foundation
 of the driver's side-by-side correctness gate.
 
-PRODUCTION NOTE — the md5 layer is an oracle-parity cost, not an engine
-cost: every ``md5_long``/``md5_mod`` call site (minhash shingles, simhash
-word hashes, fingerprints, exact-dedup content hashes) only needs a
-uniform 64-bit hash, and in production should be ``F.xxhash64(col)``
+PRODUCTION NOTE — the md5 layer is an oracle-parity choice, not an engine
+dependency: every ``md5_long``/``md5_mod`` call site (minhash shingles,
+simhash word hashes, fingerprints, exact-dedup content hashes) only needs
+a uniform 64-bit hash, and in production should be ``F.xxhash64(col)``
 (or ``F.xxhash64(col, F.lit(seed))`` for the per-permutation variants) —
-one JVM intrinsic instead of md5 + hex substring + base-16 conv (see
-BASELINE.md for the measured delta).  md5 is kept ONLY because
-DuckDB has no xxhash64 twin, and the correctness gate demands identical
-values on both engines.  Swapping is a one-line change here; no operator
-logic depends on the hash function beyond determinism + uniformity.
+one JVM intrinsic instead of md5 + hex substring + base-16 conv.
+Measured on the sf0.1 word-hash map (round 3): xxhash64 is ~1.13x faster
+— modest, because the interpreted higher-order ``transform`` around the
+hash dominates, not the hash itself.  md5 is kept because DuckDB has no
+xxhash64 twin and the correctness gate demands identical values on both
+engines; swapping is a one-line change here, with no operator logic
+depending on the hash beyond determinism + uniformity.
 """
 
 from __future__ import annotations

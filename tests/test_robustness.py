@@ -11,7 +11,8 @@ from ocrd_tesserocr_spark.oracle import extract_document
 _tags = st.sampled_from(
     ["<p>", "</p>", "<div>", "<b>", "</b>", "<br>", "<table>", "<td>", "</td>",
      "<nav>", "</nav>", "<script>", "</script>", '<p dir="rtl">', "<hr>",
-     '<p data-join="1">', "<h1>", "</h1>", "&amp;", "&lt;"]
+     '<p data-join="1">', "<h1>", "</h1>", "&amp;", "&lt;",
+     "<i>", "</i>", "<code>", "</code>", "<b/>", "</code></b>"]
 )
 _chunks = st.lists(st.one_of(_tags, st.text(max_size=24)), max_size=30)
 
@@ -38,6 +39,11 @@ def test_oracle_never_crashes_and_stays_consistent(chunks):
         for ln in b["lines"]:
             assert text[ln["char_start"] : ln["char_end"]] == ln["text"]
             assert " ".join(w["text"] for w in ln["words"]) == ln["text"]
+            for w in ln["words"]:
+                # style bits are always a well-formed bool struct, even
+                # under unbalanced/self-closed style-tag soup
+                assert set(w["style"]) == {"bold", "italic", "monospace"}
+                assert all(isinstance(v, bool) for v in w["style"].values())
 
 
 @settings(max_examples=80, deadline=None)
