@@ -101,6 +101,96 @@ def media_meta(pages: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# frame sampling (video) + feature extraction (embedding): same contract —
+# deterministic stub kernels, REAL Spark plumbing.  mapInPandas is the
+# right shape for frame sampling because one input row fans out to 0..N
+# output rows (a flatMap the DataFrame API can't express JVM-side over an
+# opaque codec).
+# ---------------------------------------------------------------------------
+N_SAMPLE_FRAMES = 4
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frame_stub(payload: bytes, idx: int) -> bytes:
+    """Deterministic fake 'decode container + seek + grab frame': a
+    16-byte digest of (payload, idx).  Real deployment: ffmpeg/pyav
+    keyframe extraction; only this function changes."""
+    return hashlib.md5(payload + idx.to_bytes(4, "big")).digest()
+
+
+def frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: media payload -> up to N_SAMPLE_FRAMES rows
+    (evenly spaced synthetic timestamps).  Non-decodable payloads emit
+    zero rows — the fan-out/filter happens inside the batch, never as
+    per-row Python at the Spark API surface."""
+    for pdf in it:
+        out = {c: [] for c in ("url", "frame_idx", "ts_ms", "frame")}
+        for url, payload in zip(pdf["url"], pdf["html"]):
+            b = bytes(payload) if payload is not None else b""
+            if sniff_kind(b) not in MEDIA_DECODERS or not b:
+                continue
+            # synthetic duration: 1 ms per payload byte
+            for i in range(N_SAMPLE_FRAMES):
+                out["url"].append(url)
+                out["frame_idx"].append(i)
+                out["ts_ms"].append(i * len(b) // N_SAMPLE_FRAMES)
+                out["frame"].append(sample_frame_stub(b, i))
+        yield pd.DataFrame(out).astype({"frame_idx": "int32", "ts_ms": "int64"})
+
+
+def frame_sample(pages: DataFrame) -> DataFrame:
+    return pages.select("url", "html").mapInPandas(
+        frame_sample_batches, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+EMBED_DIM = 16
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def embed_stub(payload: bytes) -> list:
+    """Deterministic fake feature extractor: EMBED_DIM floats in [0, 1)
+    from the payload digest — the shape/typing contract of a real encoder
+    (CLIP/wav2vec), matching the ``embeddings`` table's array<float>."""
+    d = hashlib.md5(payload).digest()
+    return [b / 256.0 for b in d[:EMBED_DIM]]
+
+
+def embed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        urls, vecs = [], []
+        for url, payload in zip(pdf["url"], pdf["html"]):
+            b = bytes(payload) if payload is not None else b""
+            if not b:
+                continue
+            urls.append(url)
+            vecs.append(embed_stub(b))
+        yield pd.DataFrame({"url": urls, "embedding": vecs})
+
+
+def embed_media(pages: DataFrame) -> DataFrame:
+    """Feature-extract: payload -> array<float> embedding column, the
+    input contract of the similarity operators (cosine_topk/ann_*)."""
+    return pages.select("url", "html").mapInPandas(
+        embed_batches, schema=EMBED_SCHEMA
+    )
+
+
 # --- driver-facing query (binary metadata over documents.text bytes has an
 # exact SQL oracle; the pages-payload variant is rows-only) ---------------
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -174,6 +174,51 @@ def test_audio_stub_raises():
         decode_audio_stub(b"RIFF1234")
 
 
+def test_frame_sample_fanout(spark, pages_small):
+    """Frame sampling is a 1->N batch-side fan-out: decodable payloads
+    emit exactly N_SAMPLE_FRAMES deterministic rows with monotone
+    timestamps; non-decodable payloads emit zero rows."""
+    from ocrd_tesserocr_spark.operators.multimodal import (
+        N_SAMPLE_FRAMES,
+        frame_sample,
+        sample_frame_stub,
+    )
+
+    sample = pages_small.limit(20)
+    rows = frame_sample(sample).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    assert by_url, "html payloads are decodable via the thumbnail stand-in"
+    for url, frames in by_url.items():
+        assert len(frames) == N_SAMPLE_FRAMES
+        frames.sort(key=lambda r: r["frame_idx"])
+        ts = [r["ts_ms"] for r in frames]
+        assert ts == sorted(ts) and ts[0] == 0
+        payload = bytes(
+            sample.where(F.col("url") == url).first()["html"]
+        )
+        assert bytes(frames[2]["frame"]) == sample_frame_stub(payload, 2)
+    # determinism across runs (replay-safe)
+    rows2 = frame_sample(sample).collect()
+    assert sorted((r["url"], r["frame_idx"], bytes(r["frame"])) for r in rows2) == \
+        sorted((r["url"], r["frame_idx"], bytes(r["frame"])) for r in rows)
+
+
+def test_embed_media_matches_similarity_contract(spark, pages_small):
+    """Feature-extract stub emits array<float> embeddings shaped for the
+    similarity operators (same column type as the embeddings table)."""
+    from ocrd_tesserocr_spark.operators.multimodal import EMBED_DIM, embed_media
+
+    df = embed_media(pages_small.limit(10))
+    assert dict(df.dtypes)["embedding"] == "array<float>"
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert len(r["embedding"]) == EMBED_DIM
+        assert all(0.0 <= v < 1.0 for v in r["embedding"])
+
+
 # ---------------------------------------------------------------------------
 # sources / feature filter
 # ---------------------------------------------------------------------------
