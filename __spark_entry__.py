@@ -3,10 +3,12 @@
 ``entry(spark)`` runs the flagship extraction on sf0.001;
 ``queries()``/``oracle_sql()`` expose the SURVEY.md section-2 operator
 inventory plus the training-data-pipeline layer (dedup / similarity / text
-analysis), each with an exactly-matching DuckDB oracle where SQL can
-express it.  Extraction queries over synthesized HTML payloads have no SQL
-twin (DOM parsing is not ANSI SQL) — those are checked byte-identically
-against the pure-Python oracle by ``python -m pytest -x -q`` instead.
+analysis), each with an exactly-matching DuckDB oracle.  DOM parsing is
+not ANSI SQL, so the extraction queries' oracles are differential: the
+independent PURE-PYTHON extractor materializes its results to cache
+parquets (pyarrow, no Spark) and DuckDB reads those, while the Spark side
+runs the live Arrow kernel — the same engine-vs-oracle gate the pytest
+suite applies byte-identically per document.
 """
 
 from __future__ import annotations
@@ -79,18 +81,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocrd_tesserocr_spark.corpus import materialize_pages
+    import os
+
+    from ocrd_tesserocr_spark.corpus import (
+        materialize_extracted,
+        materialize_pages,
+        materialize_words,
+    )
     from ocrd_tesserocr_spark.operators import all_queries
 
-    # oracles for font_style/media_meta read the deterministic pages cache;
-    # materialize it (pure pyarrow, no Spark) so the SQL runs regardless of
-    # whether the Spark query ran first
-    from ocrd_tesserocr_spark.corpus import materialize_words
-
+    # cache-backed oracles (font_style/media_meta/font_style_words and the
+    # two extraction queries) read deterministic parquets produced by the
+    # PURE-PYTHON oracle — materialize them here (pyarrow, no Spark) so
+    # the SQL runs regardless of whether the Spark side ran first.  DuckDB
+    # then aggregates the oracle-extracted tables while Spark runs the
+    # live kernel: a genuine differential gate, not a self-comparison.
+    o: dict[str, str] = {}
     try:
         materialize_pages("/root/testdata/sf0.01")
         materialize_words("/root/testdata/sf0.01")
+        flag, blk = materialize_extracted("/root/testdata/sf0.01")
+        o["extract_flagship"] = f"""
+SELECT url, text, conf, n_blocks, failed FROM read_parquet('{flag}')
+"""
+        o["extract_block_spans"] = f"""
+SELECT url, block_id, kind, order_idx, char_start, char_end, is_main,
+       link_density
+FROM read_parquet('{blk}')
+"""
     except Exception:
-        pass  # cache is best-effort; the Spark query side also materializes
-    _, o = all_queries()
-    return dict(o)
+        pass  # caches are best-effort; affected queries fall back to
+        # rows-only checks rather than failing the whole oracle map
+    _, base = all_queries()
+    o.update(base)
+    return o

@@ -333,3 +333,90 @@ def materialize_words(sf_dir: str) -> str:
     )
     os.replace(tmp, out)
     return out
+
+
+def materialize_extracted(sf_dir: str) -> tuple[str, str]:
+    """Write the pure-Python oracle's extraction results for ``sf_dir`` to
+    two cache parquets and return (flagship_path, blocks_path).
+
+    flagship: (url, text, conf, n_blocks, failed) — the driver-facing
+    projection of extract_flagship.  blocks: the exploded block-span table
+    matching extract_block_spans.  With these, the two extraction queries
+    get REAL DuckDB oracles (DuckDB aggregates the oracle-extracted
+    tables while Spark runs the live kernel) instead of rows-only checks —
+    the same differential pattern as font_style/media_meta/font_style_words.
+    Test/oracle infrastructure only.
+    """
+    import os
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .oracle import extract_document
+
+    def round6(x: float) -> float:
+        # Spark's F.round = BigDecimal.valueOf(double).setScale(6, HALF_UP);
+        # valueOf goes through Double.toString — the SHORTEST round-trip
+        # decimal — which Python's repr() also produces.  Decimal(x) would
+        # instead expand the exact binary value (0.9978125 -> ...4999...)
+        # and round DOWN where Spark rounds up.  Python's round() differs
+        # twice over (banker's).  repr + HALF_UP matches Spark exactly.
+        return float(
+            Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.basename(sf_dir.rstrip("/"))
+    flag_out = os.path.join(repo_root, ".cache", "extracted_%s.parquet" % base)
+    blk_out = os.path.join(repo_root, ".cache", "blocks_%s.parquet" % base)
+    if os.path.exists(flag_out) and os.path.exists(blk_out):
+        return flag_out, blk_out
+    f_url, f_text, f_conf, f_nb, f_failed = [], [], [], [], []
+    b_cols: dict = {
+        "url": [], "block_id": [], "kind": [], "order_idx": [],
+        "char_start": [], "char_end": [], "is_main": [], "link_density": [],
+    }
+    for r in pages_records(sf_dir):
+        doc = extract_document(r["html"])
+        f_url.append(r["url"])
+        f_text.append(doc["text"])
+        f_conf.append(round6(doc["conf"]))
+        f_nb.append(len(doc["blocks"]))
+        f_failed.append(doc["failed"])
+        for b in doc["blocks"]:
+            b_cols["url"].append(r["url"])
+            b_cols["block_id"].append(b["block_id"])
+            b_cols["kind"].append(b["kind"])
+            b_cols["order_idx"].append(b["order_idx"])
+            b_cols["char_start"].append(b["char_start"])
+            b_cols["char_end"].append(b["char_end"])
+            b_cols["is_main"].append(b["is_main"])
+            b_cols["link_density"].append(round6(b["link_density"]))
+    os.makedirs(os.path.dirname(flag_out), exist_ok=True)
+    flag_tbl = pa.table(
+        {
+            "url": pa.array(f_url, type=pa.string()),
+            "text": pa.array(f_text, type=pa.string()),
+            "conf": pa.array(f_conf, type=pa.float64()),
+            "n_blocks": pa.array(f_nb, type=pa.int32()),
+            "failed": pa.array(f_failed, type=pa.bool_()),
+        }
+    )
+    blk_tbl = pa.table(
+        {
+            "url": pa.array(b_cols["url"], type=pa.string()),
+            "block_id": pa.array(b_cols["block_id"], type=pa.string()),
+            "kind": pa.array(b_cols["kind"], type=pa.string()),
+            "order_idx": pa.array(b_cols["order_idx"], type=pa.int32()),
+            "char_start": pa.array(b_cols["char_start"], type=pa.int64()),
+            "char_end": pa.array(b_cols["char_end"], type=pa.int64()),
+            "is_main": pa.array(b_cols["is_main"], type=pa.bool_()),
+            "link_density": pa.array(b_cols["link_density"], type=pa.float64()),
+        }
+    )
+    for tbl, out in ((flag_tbl, flag_out), (blk_tbl, blk_out)):
+        tmp = out + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, out)
+    return flag_out, blk_out
