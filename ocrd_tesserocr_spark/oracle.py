@@ -376,6 +376,7 @@ def model_block_score(line_words: list, table: dict) -> float:
     return total / n if n else 0.0
 
 
+@lru_cache(maxsize=65536)
 def word_conf(word: str) -> float:
     """Deterministic per-word confidence in [0.5, 1.0].
 
@@ -383,7 +384,8 @@ def word_conf(word: str) -> float:
     (/root/reference/ocrd_tesserocr/recognize.py:638); defined as
     1 - 0.5 * (non-alphanumeric fraction), rounded to 4 decimals.
     Cached: real corpora repeat tokens heavily (Zipf), so the amortized
-    cost is a dict hit.
+    cost is a dict hit (bounded LRU — unbounded would leak in a
+    long-lived executor worker over web-scale vocabulary).
     """
     if not word:
         return 0.5
@@ -672,31 +674,47 @@ def _assemble_block(raw: _RawBlock) -> dict:
             link_chars += n
         if sbits:
             any_style = True
-    # per-char style bits (only materialized when a style tag occurred):
-    # a word's TextStyle is the OR of the bits of its characters, so a
-    # word assembled across a style boundary (e.g. foo<b>bar</b>) still
-    # carries the style — mirroring WordFontAttributes being per-word
-    char_styles: list[int] | None = None
+    # styled intervals (only materialized when a style tag occurred): a
+    # word's TextStyle is the OR of the bits of every styled part it
+    # overlaps, so a word assembled across a style boundary (e.g.
+    # foo<b>bar</b>) still carries the style — mirroring
+    # WordFontAttributes being per-word.  Interval overlap (typically one
+    # interval per block) beats a per-char bits array by ~10x; unstyled
+    # blocks skip the offset bookkeeping entirely (the hot path).
+    styled_ivs: list[tuple[int, int, int]] = []
     if any_style:
-        char_styles = []
+        pos = 0
         for part, _, sbits in raw.parts:
-            char_styles.extend([sbits] * len(part))
+            if sbits:
+                styled_ivs.append((pos, pos + len(part), sbits))
+            pos += len(part)
     lines = []
-    offset = 0
-    for seg in text.split("\n"):
-        words = []
-        for m in _WORD_RE.finditer(seg):
-            sbits = 0
-            if char_styles is not None:
-                for b in char_styles[offset + m.start() : offset + m.end()]:
-                    sbits |= b
-            words.append((m.group(0), sbits))
-        offset += len(seg) + 1
-        if not words:
-            continue
-        if raw.rtl:
-            words.reverse()
-        lines.append(words)
+    if not styled_ivs:
+        for seg in text.split("\n"):
+            words = [(w, 0) for w in seg.split()]
+            if not words:
+                continue
+            if raw.rtl:
+                words.reverse()
+            lines.append(words)
+    else:
+        offset = 0
+        for seg in text.split("\n"):
+            words = []
+            for m in _WORD_RE.finditer(seg):
+                s = offset + m.start()
+                e = offset + m.end()
+                sbits = 0
+                for ivs, ive, ivb in styled_ivs:
+                    if ivs < e and s < ive:
+                        sbits |= ivb
+                words.append((m.group(0), sbits))
+            offset += len(seg) + 1
+            if not words:
+                continue
+            if raw.rtl:
+                words.reverse()
+            lines.append(words)
     if raw.btt:
         # bottom-to-top textLineOrder reverses line traversal
         # (common.py:131-134)
@@ -862,6 +880,7 @@ def extract_document(html: bytes | str | None,
             l_start = pos
             words_out = []
             wconfs = []
+            line_prefix = "%s_line%04d" % (block_id, li)
             for wi, (w, sbits) in enumerate(words):
                 if wi > 0:
                     doc_parts.append(" ")
@@ -871,7 +890,7 @@ def extract_document(html: bytes | str | None,
                 pos += len(w)
                 c = word_conf(w)
                 wconfs.append(c)
-                word_id = "%s_line%04d_word%04d" % (block_id, li, wi)
+                word_id = "%s_word%04d" % (line_prefix, wi)
                 glyphs = []
                 if eff.textequiv_level == "glyph":
                     # symbol-level descent with ranked choices
@@ -906,7 +925,7 @@ def extract_document(html: bytes | str | None,
             line_confs.append(lconf)
             lines_out.append(
                 {
-                    "line_id": "%s_line%04d" % (block_id, li),
+                    "line_id": line_prefix,
                     "char_start": l_start,
                     "char_end": pos,
                     "text": " ".join(w for w, _ in words),
