@@ -4,11 +4,14 @@
 ``queries()``/``oracle_sql()`` expose the SURVEY.md section-2 operator
 inventory plus the training-data-pipeline layer (dedup / similarity / text
 analysis), each with an exactly-matching DuckDB oracle.  DOM parsing is
-not ANSI SQL, so the extraction queries' oracles are differential: the
-independent PURE-PYTHON extractor materializes its results to cache
-parquets (pyarrow, no Spark) and DuckDB reads those, while the Spark side
-runs the live Arrow kernel — the same engine-vs-oracle gate the pytest
-suite applies byte-identically per document.
+not ANSI SQL, so the extraction queries' oracles work differently: the
+pure-Python extractor materializes its results to cache parquets
+(pyarrow, no Spark) and DuckDB reads those, while the Spark side runs the
+live Arrow kernel.  Both sides share ``oracle.extract_document``, so this
+gate proves the SPARK layer — Arrow serialization, schema, distribution,
+projection, aggregation — not independent extraction logic; extraction
+SEMANTICS are covered by the pytest fixture suite (hand-written expected
+outputs + structural invariants + hypothesis fuzzing, SURVEY.md section 5).
 """
 
 from __future__ import annotations
@@ -81,8 +84,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    import os
-
     from ocrd_tesserocr_spark.corpus import (
         materialize_extracted,
         materialize_pages,

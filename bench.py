@@ -143,6 +143,16 @@ def main() -> None:
     # extraction wall.
     errors: list[dict] = []
 
+    def _parse_levels(stdout) -> dict:
+        out = {}
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode("utf-8", errors="replace")
+        for line in (stdout or "").splitlines():
+            if line.startswith("{"):
+                run = json.loads(line)
+                out[run["cores"]] = run
+        return out
+
     def run_pair(pair: str, timeout_sec: float = 1800, path: str | None = None) -> dict:
         try:
             proc = subprocess.run(
@@ -153,14 +163,19 @@ def main() -> None:
                 timeout=max(300, timeout_sec),
             )
         except subprocess.TimeoutExpired as e:
-            errors.append({"pair": pair, "error": "timeout",
-                           "stderr_tail": (e.stderr or "")[-800:] if isinstance(e.stderr, str) else ""})
-            return {}
-        out = {}
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                run = json.loads(line)
-                out[run["cores"]] = run
+            # salvage levels that completed before the timeout: their JSON
+            # lines are already on stdout (several minutes of budget each)
+            out = _parse_levels(e.stdout)
+            stderr = e.stderr
+            if isinstance(stderr, bytes):
+                stderr = stderr.decode("utf-8", errors="replace")
+            errors.append({
+                "pair": pair,
+                "error": f"timeout (salvaged levels {sorted(out)})",
+                "stderr_tail": (stderr or "")[-800:],
+            })
+            return out
+        out = _parse_levels(proc.stdout)
         want = {int(c) for c in pair.split(",")}
         if not want.issubset(out):
             errors.append({
@@ -317,8 +332,9 @@ def main() -> None:
             "eff_control": r["eff_control"],
         }
 
+    any_run = best["runs"][4] if best else next(iter(runs_8_32.values()))
     extraction = {
-        "docs": (best["runs"][4] if best else runs_8_32[8])["docs"],
+        "docs": any_run["docs"],
         # the primary pair runs on the smaller slice (short legs -> one
         # steal regime per leg); the secondary pair + local[32] wall use
         # the full corpus, so wall_sec stays comparable across rounds

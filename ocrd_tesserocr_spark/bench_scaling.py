@@ -122,7 +122,10 @@ def run_level(cores: int, pages_path: str) -> dict:
 
     def _mid_probe() -> None:
         time.sleep(max(3.0, min(30.0, est_wall * 0.4)))
-        mid["chunk_sec"] = _timed_chunk_sec()
+        t = time.time()
+        _calib_chunk(0)
+        mid["chunk_sec"] = round(time.time() - t, 3)
+        mid["end_ts"] = time.time()
 
     th = threading.Thread(target=_mid_probe, daemon=True)
     th.start()
@@ -130,9 +133,17 @@ def run_level(cores: int, pages_path: str) -> dict:
     out = extract(spark, pages, EXTRACT, num_partitions=8 * cores)
     out.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
+    job_end = time.time()
     spark.stop()
+    # the probe is only a MID-window sample if it finished inside the
+    # Spark wall; wait it out before the control so a straggling chunk
+    # can't steal CPU from (and be polluted by) kernel_control, and
+    # discard its reading if it ran past the job end
+    th.join(timeout=60)
     control = kernel_control(cores, pages_path)
     mid_chunk = mid.get("chunk_sec")
+    if mid_chunk is not None and mid.get("end_ts", 0) > job_end:
+        mid_chunk = None
     return {
         "cores": cores,
         "docs": n_docs,

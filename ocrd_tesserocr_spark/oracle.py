@@ -400,7 +400,7 @@ class _RawBlock:
     btt: bool = False  # bottom-to-top line order (common.py:131-134)
     join: bool = False
     boiler: bool = False
-    parts: list = field(default_factory=list)  # (text, in_link)
+    parts: list = field(default_factory=list)  # (text, in_link, style_bits)
     tag_count: int = 0
 
 

@@ -32,16 +32,23 @@ def extract_stream(
 ) -> DataFrame:
     """Streaming extraction: identical kernel, streaming plan.
 
-    Uses the mapInArrow kernel when the streaming runtime supports it
-    (same RecordBatch construction as the batch path — skips the nested-
-    struct pandas conversion tax); the mapInPandas kernel is the
-    fallback for runtimes where mapInArrow is batch-only."""
-    try:
-        from ..kernel import make_extract_arrow_fn
+    Uses the mapInArrow kernel — the same RecordBatch construction as the
+    batch path, skipping the nested-struct pandas conversion tax.  A
+    runtime lacking streaming mapInArrow support would fail at
+    ``.start()`` (plan construction here is lazy, so no fallback can be
+    taken at this point); on such a runtime, route through
+    ``extract_stream_pandas`` instead."""
+    from ..kernel import make_extract_arrow_fn
 
-        return pages.mapInArrow(make_extract_arrow_fn(params), schema=EXTRACTED_SCHEMA)
-    except Exception:
-        return pages.mapInPandas(make_extract_fn(params), schema=EXTRACTED_SCHEMA)
+    return pages.mapInArrow(make_extract_arrow_fn(params), schema=EXTRACTED_SCHEMA)
+
+
+def extract_stream_pandas(
+    pages: DataFrame, params: ExtractParams = DEFAULT_PARAMS
+) -> DataFrame:
+    """mapInPandas variant of :func:`extract_stream` (same output, slower
+    nested-struct conversion) for runtimes without streaming mapInArrow."""
+    return pages.mapInPandas(make_extract_fn(params), schema=EXTRACTED_SCHEMA)
 
 
 def start_to_parquet(

@@ -111,11 +111,16 @@ SESSION_OUT_SCHEMA = T.StructType(
     ]
 )
 
+#: the open-session state holds a LIST of gap-separated intervals (as
+#: parallel arrays): a session may only close once the watermark proves
+#: no in-window event can still bridge or extend it, and until then a
+#: LATER session for the same user can already be open — one slot is not
+#: enough (closing early splits true sessions on late data).
 _SESSION_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_epoch", T.LongType(), False),
-        T.StructField("last_epoch", T.LongType(), False),
-        T.StructField("n_events", T.LongType(), False),
+        T.StructField("starts", T.ArrayType(T.LongType()), False),
+        T.StructField("lasts", T.ArrayType(T.LongType()), False),
+        T.StructField("ns", T.ArrayType(T.LongType()), False),
     ]
 )
 
@@ -127,61 +132,65 @@ def _session_fn_event(
 ) -> Iterator[pd.DataFrame]:
     """Event-time sessionization with out-of-order merge.
 
-    Incoming epochs (plus the open session from state, as a pre-counted
-    interval) are merged with the standard interval-union rule under the
-    gap: a late event within [start-gap, last+gap] of an interval joins
-    it; bridged intervals coalesce.  Every merged interval except the
-    latest is provably closed (any event that could extend it would have
-    to be later than watermark allows); the latest stays open in state
-    with an event-time timeout at last + gap.
+    Incoming epochs (plus the open intervals from state, pre-counted) are
+    merged with the standard interval-union rule under the gap: a late
+    event within [start-gap, last+gap] of an interval joins it; bridged
+    intervals coalesce.  An interval is emitted as a closed session ONLY
+    when the watermark passes its end + gap — before that, an in-window
+    late event could still extend or bridge it, so it stays in state.
+    The event-time timeout is armed at the earliest unproven end + gap,
+    so sessions flush as soon as the watermark proves them, even with no
+    further data for the key.
     """
     user_id = key[0]
-    closed = []
-    if state.hasTimedOut:
-        start, last, n = state.get
-        closed.append((user_id, start, last, n))
-        state.remove()
-    else:
-        intervals: list[list[int]] = []
-        if state.exists:
-            intervals.append(list(state.get))
-        epochs: list[int] = []
+    intervals: list[list[int]] = []
+    if state.exists:
+        starts, lasts, ns = state.get
+        intervals = [[int(s), int(l), int(n)] for s, l, n in zip(starts, lasts, ns)]
+    epochs: list[int] = []
+    if not state.hasTimedOut:
         for pdf in pdfs:
             if len(pdf):
                 epochs.extend(int(e) for e in pdf["epoch"])
-        for e in sorted(epochs):
-            for iv in intervals:
-                if iv[0] - SESSION_GAP_SEC <= e <= iv[1] + SESSION_GAP_SEC:
-                    if e < iv[0]:
-                        iv[0] = e
-                    if e > iv[1]:
-                        iv[1] = e
-                    iv[2] += 1
-                    break
-            else:
-                intervals.append([e, e, 1])
-        intervals.sort()
-        merged: list[list[int]] = []
+    for e in sorted(epochs):
         for iv in intervals:
-            if merged and iv[0] - merged[-1][1] <= SESSION_GAP_SEC:
-                if iv[1] > merged[-1][1]:
-                    merged[-1][1] = iv[1]
-                merged[-1][2] += iv[2]
-            else:
-                merged.append(iv)
-        if merged:
-            for start, last, n in merged[:-1]:
-                closed.append((user_id, start, last, n))
-            start, last, n = merged[-1]
-            wm_ms = state.getCurrentWatermarkMs()
-            if (last + SESSION_GAP_SEC) * 1000 <= wm_ms:
-                # watermark already proves the silence: close now
-                closed.append((user_id, start, last, n))
-                if state.exists:
-                    state.remove()
-            else:
-                state.update((start, last, n))
-                state.setTimeoutTimestamp((last + SESSION_GAP_SEC) * 1000)
+            if iv[0] - SESSION_GAP_SEC <= e <= iv[1] + SESSION_GAP_SEC:
+                if e < iv[0]:
+                    iv[0] = e
+                if e > iv[1]:
+                    iv[1] = e
+                iv[2] += 1
+                break
+        else:
+            intervals.append([e, e, 1])
+    intervals.sort()
+    merged: list[list[int]] = []
+    for iv in intervals:
+        if merged and iv[0] - merged[-1][1] <= SESSION_GAP_SEC:
+            if iv[1] > merged[-1][1]:
+                merged[-1][1] = iv[1]
+            merged[-1][2] += iv[2]
+        else:
+            merged.append(iv)
+    wm_ms = state.getCurrentWatermarkMs()
+    closed = [
+        (user_id, s, l, n)
+        for s, l, n in merged
+        if (l + SESSION_GAP_SEC) * 1000 <= wm_ms
+    ]
+    still_open = [iv for iv in merged if (iv[1] + SESSION_GAP_SEC) * 1000 > wm_ms]
+    if still_open:
+        state.update((
+            [iv[0] for iv in still_open],
+            [iv[1] for iv in still_open],
+            [iv[2] for iv in still_open],
+        ))
+        # earliest unproven end + gap is > wm by construction of still_open
+        state.setTimeoutTimestamp(
+            min((iv[1] + SESSION_GAP_SEC) for iv in still_open) * 1000
+        )
+    elif state.exists:
+        state.remove()
     yield pd.DataFrame(
         closed,
         columns=["user_id", "session_start_epoch", "session_end_epoch", "n_events"],

@@ -124,27 +124,35 @@ def test_stateful_sessionize_stream_gap_across_batches(spark, tmp_path):
     # nothing closed yet: both sessions still open in state
     assert spark.read.parquet(out).where("user_id is not null").count() == 0
 
-    # user 1 returns after a 4000 s gap -> their first session closes;
-    # user 2 stays silent -> closes via the EVENT-time timeout once the
-    # watermark (advanced by user 1's late event) passes t0 + gap.  Whether
-    # that timeout fires inside this run or a later no-data micro-batch is
-    # runtime-dependent, so user 2's row is optional but, if present, must
-    # be the correct single-event session.
+    # user 1 returns after a 4000 s gap.  The first session does NOT close
+    # yet: the watermark (still behind t0+60+gap during this batch) cannot
+    # prove that a late in-window event won't extend it.
     batch2 = spark.createDataFrame(
         [(1, 4, t0 + dt.timedelta(seconds=4060))], schema)
     batch2.coalesce(1).write.mode("append").parquet(src)
     run_available()
 
+    # a third batch advances the watermark past t0+60+gap (wm during its
+    # processing = t0+4060-1800 = t0+2260): user 1's first session is now
+    # PROVEN closed and emits; user 2's single-event session flushes via
+    # the event-time timeout in the same trigger.
+    batch3 = spark.createDataFrame(
+        [(1, 5, t0 + dt.timedelta(seconds=99999))], schema)
+    batch3.coalesce(1).write.mode("append").parquet(src)
+    run_available()
+
     rows = [r for r in spark.read.parquet(out).collect()
             if r["user_id"] is not None]
-    u1 = [r for r in rows if r["user_id"] == 1]
-    assert len(u1) == 1
-    r = u1[0]
-    assert r["n_events"] == 2
-    assert r["session_end_epoch"] - r["session_start_epoch"] == 60
-    for r2 in (r for r in rows if r["user_id"] == 2):
-        assert r2["n_events"] == 1
-        assert r2["session_start_epoch"] == r2["session_end_epoch"]
+    u1 = [(r["session_start_epoch"], r["session_end_epoch"], r["n_events"])
+          for r in rows if r["user_id"] == 1]
+    e0 = int(t0.timestamp())
+    assert (e0, e0 + 60, 2) in u1
+    # the t0+4060 session may also have flushed (no-data micro-batch after
+    # batch3 advanced the watermark) — if so it must be exact
+    assert set(u1) <= {(e0, e0 + 60, 2), (e0 + 4060, e0 + 4060, 1)}
+    u2 = [(r["session_start_epoch"], r["session_end_epoch"], r["n_events"])
+          for r in rows if r["user_id"] == 2]
+    assert u2 == [(e0, e0, 1)]
 
 
 def test_sessionize_event_time_merges_late_events(spark, tmp_path):
@@ -204,18 +212,31 @@ def test_sessionize_event_time_merges_late_events(spark, tmp_path):
     run_available()
     assert spark.read.parquet(out).where("user_id is not null").count() == 0
 
-    # a far-future event proves the gap: the merged session closes as
-    # (500, 2500, 3 events) — byte-for-byte what batch q_sessionize gives
+    # a far-future event starts a second interval but must NOT close the
+    # first one yet: during this batch the watermark (2500-1800=700) still
+    # admits a late event that could extend 500..2500
     spark.createDataFrame([(7, 4, sec(99999))], schema).coalesce(1).write.mode(
         "append"
     ).parquet(src)
     run_available()
-    rows = [r for r in spark.read.parquet(out).collect()
+
+    # one more event advances the watermark (99999-1800) far past
+    # 2500+gap: the merged first session is now proven and closes as
+    # (500, 2500, 3 events) — byte-for-byte what batch q_sessionize gives
+    spark.createDataFrame([(7, 5, sec(199999))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_available()
+    rows = [(r["session_start_epoch"], r["session_end_epoch"], r["n_events"])
+            for r in spark.read.parquet(out).collect()
             if r["user_id"] is not None]
-    assert len(rows) == 1
-    r = rows[0]
-    assert (r["session_start_epoch"], r["session_end_epoch"], r["n_events"]) == (
-        int(sec(500).timestamp()), int(sec(2500).timestamp()), 3)
+    first = (int(sec(500).timestamp()), int(sec(2500).timestamp()), 3)
+    assert first in rows
+    # the 99999 interval may also have flushed via a trailing no-data
+    # micro-batch; no other output is admissible
+    assert set(rows) <= {first,
+                         (int(sec(99999).timestamp()),
+                          int(sec(99999).timestamp()), 1)}
 
 
 def test_dedup_fn_keeper_spans_chunks():
