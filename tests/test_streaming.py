@@ -280,3 +280,86 @@ def test_dedup_fn_keeper_spans_chunks():
     [out2] = list(_dedup_fn(("h1",), iter([pd.DataFrame({"url": ["x", "y"]})]), st))
     assert len(out2) == 0
     assert st.get == (True, "https://a.example/1", 5)
+
+
+def test_sessionize_stream_equals_batch_on_real_events(spark, tmp_path):
+    """End-to-end equivalence on the real events table: once the watermark
+    passes every session's end+gap (driven by sentinel events), the
+    streaming operator must emit exactly the sessions the batch gap rule
+    produces — same (user, start, end, n_events) multiset."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ocrd_tesserocr_spark.streaming.stateful import (
+        SESSION_GAP_SEC,
+        sessionize_stream,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "event_id", "ts")
+    )
+    rows = ev.collect()
+    max_ts = max(r["ts"] for r in rows)
+
+    # independent in-test oracle: replay the gap rule per user
+    per_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        per_user.setdefault(r["user_id"], []).append(int(r["ts"].timestamp()))
+    expected = set()
+    for uid, epochs in per_user.items():
+        start = last = epochs[0]
+        n = 1
+        for e in epochs[1:]:
+            if e - last > SESSION_GAP_SEC:
+                expected.add((uid, start, last, n))
+                start, n = e, 0
+            n += 1
+            last = e
+        expected.add((uid, start, last, n))
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = str(tmp_path / "ev_in")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ck")
+    ev.coalesce(1).write.parquet(src)
+
+    def run_available():
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_available()
+    # two sentinel batches: the first advances the watermark past every
+    # real session's end+gap; the second triggers the event-time timeouts
+    # under that watermark
+    for i, days in enumerate((10, 20)):
+        s = spark.createDataFrame(
+            [(999999900 + i, 1, max_ts + dt.timedelta(days=days))], schema)
+        s.coalesce(1).write.mode("append").parquet(src)
+        run_available()
+
+    got = {
+        (r["user_id"], r["session_start_epoch"],
+         r["session_end_epoch"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] is not None and r["user_id"] < 999999900
+    }
+    assert got == expected
