@@ -149,8 +149,14 @@ def main() -> None:
             stdout = stdout.decode("utf-8", errors="replace")
         for line in (stdout or "").splitlines():
             if line.startswith("{"):
-                run = json.loads(line)
-                out[run["cores"]] = run
+                try:
+                    run = json.loads(line)
+                except json.JSONDecodeError:
+                    # a line truncated mid-write when the subprocess was
+                    # killed (the timeout-salvage path) is not evidence
+                    continue
+                if isinstance(run, dict) and "cores" in run:
+                    out[run["cores"]] = run
         return out
 
     def run_pair(pair: str, timeout_sec: float = 1800, path: str | None = None) -> dict:

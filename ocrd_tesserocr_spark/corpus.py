@@ -25,6 +25,47 @@ import pandas as pd
 
 _EPOCH = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
 
+#: bump when the synthetic page generator changes: together with
+#: oracle.ORACLE_VERSION it is baked into every oracle-cache filename, so
+#: semantic changes invalidate stale snapshots automatically (the caches
+#: would otherwise serve an old extractor's output to the DuckDB side of
+#: the correctness gate until someone manually cleared .cache).
+CORPUS_VERSION = 1
+
+
+def _cache_file(name: str, sf_dir: str, oracle_dep: bool) -> str:
+    """Versioned oracle-cache path: ``.cache/{name}_{sf}_c{CV}[o{OV}].parquet``.
+
+    ``oracle_dep`` marks caches whose CONTENT is produced by
+    oracle.extract_document (words/extracted): those also carry the
+    extractor version token.
+    """
+    import os
+
+    tok = "c%d" % CORPUS_VERSION
+    if oracle_dep:
+        from .oracle import ORACLE_VERSION
+
+        tok += "o%d" % ORACLE_VERSION
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(repo_root, ".cache", f"{name}_{base}_{tok}.parquet")
+
+
+def pages_cache_path(sf_dir: str) -> str:
+    return _cache_file("pages", sf_dir, oracle_dep=False)
+
+
+def words_cache_path(sf_dir: str) -> str:
+    return _cache_file("words", sf_dir, oracle_dep=True)
+
+
+def extracted_cache_paths(sf_dir: str) -> tuple:
+    return (
+        _cache_file("extracted", sf_dir, oracle_dep=True),
+        _cache_file("blocks", sf_dir, oracle_dep=True),
+    )
+
 _ARABIC = ["كتاب", "نص", "صفحة", "كلمة", "سطر", "فقرة", "بحث", "مقال"]
 
 TEMPLATES = [
@@ -242,10 +283,7 @@ def materialize_pages(sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = os.path.join(
-        repo_root, ".cache", "pages_%s.parquet" % os.path.basename(sf_dir.rstrip("/"))
-    )
+    out = pages_cache_path(sf_dir)
     if os.path.exists(out):
         return out
     pdf = pages_from_documents_pdf(
@@ -295,10 +333,7 @@ def materialize_words(sf_dir: str) -> str:
 
     from .oracle import extract_document
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = os.path.join(
-        repo_root, ".cache", "words_%s.parquet" % os.path.basename(sf_dir.rstrip("/"))
-    )
+    out = words_cache_path(sf_dir)
     if os.path.exists(out):
         return out
     urls: list = []
@@ -366,10 +401,7 @@ def materialize_extracted(sf_dir: str) -> tuple[str, str]:
             Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
         )
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    base = os.path.basename(sf_dir.rstrip("/"))
-    flag_out = os.path.join(repo_root, ".cache", "extracted_%s.parquet" % base)
-    blk_out = os.path.join(repo_root, ".cache", "blocks_%s.parquet" % base)
+    flag_out, blk_out = extracted_cache_paths(sf_dir)
     if os.path.exists(flag_out) and os.path.exists(blk_out):
         return flag_out, blk_out
     f_url, f_text, f_conf, f_nb, f_failed = [], [], [], [], []

@@ -15,7 +15,6 @@ live pages table.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,9 +73,11 @@ def q_font_style_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sf001_cache() -> str:
     # the driver's correctness gate runs at sf0.01; the static oracle SQL
-    # below points at that corpus' cache (materialized by oracle_sql())
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(repo_root, ".cache", "pages_sf0.01.parquet")
+    # below points at that corpus' cache (materialized by oracle_sql());
+    # the path is version-tokened so semantic changes invalidate it
+    from ..corpus import pages_cache_path
+
+    return pages_cache_path("/root/testdata/sf0.01")
 
 
 SQL_FONT_STYLE = f"""
@@ -88,8 +89,9 @@ FROM read_parquet('{_sf001_cache()}')
 """
 
 def _words_cache() -> str:
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(repo_root, ".cache", "words_sf0.01.parquet")
+    from ..corpus import words_cache_path
+
+    return words_cache_path("/root/testdata/sf0.01")
 
 
 SQL_FONT_STYLE_WORDS = f"""

@@ -243,10 +243,9 @@ def _sniff_case_sql() -> str:
 
 
 def _sf001_cache() -> str:
-    import os
+    from ..corpus import pages_cache_path
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(repo_root, ".cache", "pages_sf0.01.parquet")
+    return pages_cache_path("/root/testdata/sf0.01")
 
 
 SQL_MEDIA_META = f"""

@@ -39,6 +39,14 @@ from dataclasses import dataclass, field
 from functools import lru_cache
 from html import unescape
 
+#: bump on ANY change to extract_document semantics: the token is baked
+#: into the oracle-cache parquet filenames (corpus.materialize_words /
+#: materialize_extracted), so a semantic change invalidates stale oracle
+#: snapshots automatically instead of silently failing the gate until
+#: someone runs `rm -rf .cache`.  (2 = auto_model exempts rule-selected
+#: models, round 4.)
+ORACLE_VERSION = 2
+
 # --------------------------------------------------------------------------
 # parameters (analogue of the ocrd-tool.json parameter surface)
 # --------------------------------------------------------------------------
@@ -228,11 +236,15 @@ def resolve_params(params: ExtractParams) -> ExtractParams:
 
 
 def _block_effective(params: ExtractParams, attrs: dict):
-    """Per-block (effective_params, model) after rule application.
+    """Per-block (effective_params, model, from_rule) after rule application.
 
     All matching block_rules apply in order (recognize.py:238-246 applies
     every matching xpath_parameters entry); matching model_rules '+'-join
     (recognize.py:258-259), falling back to the default model.
+    ``from_rule`` records whether a model_rule matched: the reference
+    RETURNS right after an xpath_model match (recognize.py:258-262 — the
+    '+'-joined rule models are used jointly, verbatim), so auto_model
+    scoring must only ever apply to the preset model.
     """
     eff = params
     overrides: dict = {}
@@ -244,7 +256,9 @@ def _block_effective(params: ExtractParams, attrs: dict):
 
         eff = replace(params, **overrides)
     models = [m for expr, m in params.model_rules if compile_predicate(expr)(attrs)]
-    return eff, ("+".join(models) if models else eff.model)
+    if models:
+        return eff, "+".join(models), True
+    return eff, eff.model, False
 
 # tag -> block kind (region-type switch, recognize.py:585-674)
 _BLOCK_KIND = {
@@ -807,13 +821,16 @@ def extract_document(html: bytes | str | None,
             "rtl": a["rtl"],
             "join": a["join"],
         }
-        eff, model = _block_effective(params, attrs)
+        eff, model, model_from_rule = _block_effective(params, attrs)
         # in-kernel auto_model (recognize.py:266-277): '+'-joined candidates
         # are each scored on THIS block; the argmax (first on ties, like
         # np.argmax) becomes the block's model and its confusion table
-        # drives glyph recognition below
+        # drives glyph recognition below.  A model selected by a matched
+        # model_rule is exempt: the reference returns after an xpath_model
+        # match (recognize.py:258-262), using the joined tag verbatim —
+        # auto_model only ever scores the preset model.
         block_glyph_table = glyph_table
-        if eff.auto_model and "+" in model:
+        if eff.auto_model and not model_from_rule and "+" in model:
             cands = model.split("+")
             scores = [
                 model_block_score(a["line_words"], _model_table(params, m))

@@ -91,7 +91,9 @@ def _dedup_fn(
 # (gap rule shared: a >1800 s silence closes the session).  State carries the
 # open session per user across micro-batches.
 #
-# EVENT-time variant (the default): the stream carries a watermark, the
+# EVENT-time semantics (the only variant — the processing-time one was
+# retired: a late event rewound its `last` and closed live sessions): the
+# stream carries a watermark, the
 # open-session state merges late (out-of-order) events by interval overlap,
 # and the idle flush is an EventTimeTimeout at last_event + gap — so a late
 # event that belongs INSIDE the open session widens it instead of corrupting
@@ -100,7 +102,6 @@ def _dedup_fn(
 # ---------------------------------------------------------------------------
 SESSION_GAP_SEC = 1800
 SESSION_WATERMARK = "30 minutes"  # late-data bound = the gap rule
-SESSION_IDLE_FLUSH_MS = 1_800_000  # processing-time variant's idle flush
 
 SESSION_OUT_SCHEMA = T.StructType(
     [
@@ -173,69 +174,38 @@ def _session_fn_event(
         else:
             merged.append(iv)
     wm_ms = state.getCurrentWatermarkMs()
+    # STRICT close: Spark keeps rows whose event time EQUALS the watermark,
+    # so an event at exactly last+gap can still arrive (and would join:
+    # e <= last+gap above) while wm == last+gap — only wm strictly past
+    # the boundary proves the session
     closed = [
         (user_id, s, l, n)
         for s, l, n in merged
-        if (l + SESSION_GAP_SEC) * 1000 <= wm_ms
+        if (l + SESSION_GAP_SEC) * 1000 < wm_ms
     ]
-    still_open = [iv for iv in merged if (iv[1] + SESSION_GAP_SEC) * 1000 > wm_ms]
+    still_open = [iv for iv in merged if (iv[1] + SESSION_GAP_SEC) * 1000 >= wm_ms]
     if still_open:
         state.update((
             [iv[0] for iv in still_open],
             [iv[1] for iv in still_open],
             [iv[2] for iv in still_open],
         ))
-        # earliest unproven end + gap is > wm by construction of still_open
+        # earliest unproven end + gap is >= wm by construction of
+        # still_open; the timeout timestamp must be > wm, so nudge the
+        # boundary case by 1 ms (fires at the next watermark advance,
+        # exactly when the strict close above becomes provable)
         state.setTimeoutTimestamp(
-            min((iv[1] + SESSION_GAP_SEC) for iv in still_open) * 1000
+            max(
+                min((iv[1] + SESSION_GAP_SEC) for iv in still_open) * 1000,
+                wm_ms + 1,
+            )
         )
     elif state.exists:
         state.remove()
     yield pd.DataFrame(
         closed,
         columns=["user_id", "session_start_epoch", "session_end_epoch", "n_events"],
-    ).astype("int64", errors="ignore")
-
-
-def _session_fn_proc(
-    key: Tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Processing-time variant (kept for the late-data comparison test):
-    correct on in-order streams, but a late event rewinds ``last`` and can
-    close a session that isn't over — the defect the event-time variant
-    fixes."""
-    user_id = key[0]
-    closed = []
-    if state.hasTimedOut:
-        start, last, n = state.get
-        closed.append((user_id, start, last, n))
-        state.remove()
-    else:
-        start = last = None
-        n = 0
-        if state.exists:
-            start, last, n = state.get
-        batches = [pdf for pdf in pdfs if len(pdf)]
-        if batches:
-            rows = pd.concat(batches).sort_values(["epoch", "event_id"])
-            for e in rows["epoch"]:
-                e = int(e)
-                if last is not None and e - last > SESSION_GAP_SEC:
-                    closed.append((user_id, start, last, n))
-                    start, n = e, 0
-                if start is None:
-                    start = e
-                n += 1
-                last = e
-        if start is not None:
-            state.update((start, last, n))
-            state.setTimeoutDuration(SESSION_IDLE_FLUSH_MS)
-    yield pd.DataFrame(
-        closed,
-        columns=["user_id", "session_start_epoch", "session_end_epoch", "n_events"],
-    ).astype("int64", errors="ignore")
+    ).astype("int64")
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:
@@ -255,20 +225,6 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
-
-
-def sessionize_stream_proc(events: DataFrame) -> DataFrame:
-    """Processing-time sessionization (legacy; see _session_fn_proc)."""
-    keyed = events.select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("epoch")
-    )
-    return keyed.groupBy("user_id").applyInPandasWithState(
-        _session_fn_proc,
-        outputStructType=SESSION_OUT_SCHEMA,
-        stateStructType=_SESSION_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

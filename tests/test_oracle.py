@@ -443,6 +443,30 @@ def test_auto_model_picks_planted_better_model():
     assert [b["model"] for b in out4["blocks"] if b["is_main"]] == ["eng"]
 
 
+def test_auto_model_exempts_rule_selected_models():
+    """A model chosen by a matched model_rule is used verbatim even with
+    auto_model on: the reference RETURNS after an xpath_model match
+    (recognize.py:258-262 — matched models are '+'-joined and used
+    jointly); auto_model scoring (recognize.py:266-277) only ever runs on
+    the preset model."""
+    html = _doc("<p>hello yellow fellow, all will fall tall oll</p>")
+    params = ExtractParams(
+        model="default",
+        auto_model=True,
+        model_rules=(
+            ("kind=paragraph", "fraktur"),
+            ("n_chars>5", "eng"),
+        ),
+        model_resources=(
+            ("fraktur", (("l", ("t", "i")),)),
+            ("eng", (("z", ("s",)),)),
+        ),
+    )
+    out = extract_document(html, params)
+    # the '+'-joined rule selection survives untouched — no argmax
+    assert [b["model"] for b in out["blocks"] if b["is_main"]] == ["fraktur+eng"]
+
+
 def test_word_style_from_inline_ancestry():
     """Per-word TextStyle (fontshape.py:125-140): b/i/code ancestry sets
     bold/italic/monospace; a word assembled across a style boundary keeps

@@ -90,8 +90,11 @@ def test_ngram_jaccard_has_bounded_fanout(spark):
     assert "collect_list" in plan
     assert "64" in plan  # the cap literal survives into the filter
     # the only joins left are the two per-doc size lookups (on da/db),
-    # never a join keyed on the shingle hash h
-    assert "h#" not in plan.split("Join")[-1][:400] or plan.count("Join") <= 4
+    # NEVER a join keyed on the shingle hash h: an unconditional sweep of
+    # every join's key line (a disjunctive form here once let a
+    # shingle-keyed join regress through the other arm)
+    for seg in plan.split("Join")[1:]:
+        assert "h#" not in seg.splitlines()[0], "join keyed on shingle hash"
 
 
 def test_lsh_pairs_single_signature_dag(spark):
