@@ -1,0 +1,113 @@
+"""Bench rep-selection logic (no Spark): the round-3 artifact selected a
+rep with a degenerate steal normalization (calib_16 < calib_4 -> "steal-
+normalized 4.123") over the rep with raw 0.829 — the sanity screen must
+prevent exactly that."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import pair_quality, rep_meets_criterion, rep_sanity
+
+
+def _rep(dps4, dps16, calib4, calib16, ctrl4, ctrl16):
+    runs = {
+        4: {
+            "docs_per_sec": dps4,
+            "calib_chunks_per_sec": calib4,
+            "control_docs_per_sec": ctrl4,
+            "spark_over_control": round(dps4 / ctrl4, 3),
+        },
+        16: {
+            "docs_per_sec": dps16,
+            "calib_chunks_per_sec": calib16,
+            "control_docs_per_sec": ctrl16,
+            "spark_over_control": round(dps16 / ctrl16, 3),
+        },
+    }
+    raw = round(dps16 / (4.0 * dps4), 3)
+    norm = round((dps16 / calib16) / (dps4 / calib4), 3)
+    ctrl = round((dps16 / ctrl16) / (dps4 / ctrl4), 3)
+    return {"runs": runs, "eff_raw": raw, "eff_norm": norm, "eff_control": ctrl}
+
+
+# the three shipped round-3 reps (BENCH_r03 pair_reps_4_16), verbatim
+R3_REP_1 = _rep(1965.5, 6519.2, 3.185, 9.243, 2479.5, 2611.8)   # raw 0.829
+R3_REP_2 = _rep(797.6, 1868.5, 2.285, 5.271, 2040.8, 7785.7)    # raw 0.586
+R3_REP_3 = _rep(1928.1, 4497.0, 3.187, 1.803, 2181.5, 4002.5)   # raw 0.583, SELECTED r3
+
+# a clean-window rep shaped like BASELINE.md run D (raw 0.814, sane
+# normalizers: probe and control both scale ~3.2x, socs ~0.9-1.0)
+CLEAN_REP = _rep(2000.0, 6512.0, 3.2, 10.3, 2200.0, 7040.0)
+
+
+def test_r3_selected_rep_fails_sanity():
+    # rep 3's 16-leg calibration collapsed (1.803 < 3.187): ratio 0.57
+    s = rep_sanity(R3_REP_3)
+    assert s["calib_ratio"] < 1 and not s["sane"]
+    # rep 1's 16-leg CONTROL collapsed (2611 ~ control_4): ratio 1.05,
+    # soc_16 2.496 — also insane, even though its raw eff is the best
+    s1 = rep_sanity(R3_REP_1)
+    assert not s1["sane"]
+    # rep 2's normalizers are fine but both Spark legs were degraded
+    s2 = rep_sanity(R3_REP_2)
+    assert s2["calib_ratio"] > 2 and s2["control_ratio"] > 2
+    assert not s2["sane"]  # socs 0.391 / 0.240 out of [0.5, 1.6]
+
+
+def test_clean_rep_passes_sanity_and_criterion():
+    s = rep_sanity(CLEAN_REP)
+    assert s["sane"], s
+    assert rep_meets_criterion(CLEAN_REP)
+    assert CLEAN_REP["eff_raw"] == 0.814
+
+
+def test_selector_prefers_sane_over_higher_soc():
+    """The round-4 selection key (sane, criterion, worst-leg soc): a sane
+    clean rep beats every insane r3 rep, and among insane reps the one
+    meeting the raw criterion (rep 1) beats the one that r3 shipped."""
+    reps = [R3_REP_1, R3_REP_2, R3_REP_3, CLEAN_REP]
+    best = max(
+        reps,
+        key=lambda r: (rep_sanity(r)["sane"], rep_meets_criterion(r), pair_quality(r)),
+    )
+    assert best is CLEAN_REP
+    # without the clean rep: criterion (raw 0.829) outranks window score,
+    # so the degenerate-normalizer rep 3 can no longer be selected
+    best_r3 = max(
+        reps[:3],
+        key=lambda r: (rep_sanity(r)["sane"], rep_meets_criterion(r), pair_quality(r)),
+    )
+    assert best_r3 is R3_REP_1
+
+
+def test_compact_result_line_fits_capture_window():
+    """The driver tail-captures ~2 KB; the printed result line must stay
+    under 1.5 KB with a full queries map and extraction block."""
+    timings = {k: round(0.123 + i, 3) for i, k in enumerate(
+        ["q1_pricing_summary", "agg_concat_reading_order", "topk_choices",
+         "reading_order", "span_clamp", "resume_antijoin", "exact_dedup",
+         "minhash_signature", "lsh_pairs", "simhash", "fingerprint",
+         "quality_score", "cosine_topk", "ann_bucketed",
+         "near_dedup_verified", "ngram_jaccard_stats", "glyph_topk",
+         "extraction_local32"])}
+    extraction = {
+        "docs_pair": 80000, "docs_full": 320000,
+        "docs_per_sec": {"4": 1928.1, "16": 4497.0, "8": 1484.6, "32": 3663.8},
+        "eff_4_16": {"raw": 0.814, "steal_norm": 0.943, "control_norm": 1.09},
+        "eff_8_32": {"raw": 0.779, "steal_norm": 0.813, "control_norm": 0.9},
+        "sel": {"soc": [0.884, 1.124], "mid_over_pre": [0.918, 1.01],
+                "calib_ratio": 2.901, "control_ratio": 3.2, "sane": True},
+        "n_reps": 4, "n_errors": 2, "evidence": "BENCH_evidence.json",
+    }
+    line = json.dumps({
+        "metric": ("headline operator suite + html extraction (docs/sec; "
+                   "scaling eff 4->16 primary, 8->32 secondary)"),
+        "value": 123.456, "unit": "sec", "queries": timings, "sf": 0.1,
+        "extraction": extraction,
+    })
+    assert len(line) < 1500, len(line)
