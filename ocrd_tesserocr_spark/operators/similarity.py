@@ -100,10 +100,10 @@ SELECT query_id, neighbor_id, rnk, sim FROM ranked WHERE rnk <= {TOP_K}
 # SIM2 — sign-bucketed ANN (the scale path): coarse bucket = sign bits of
 # the leading dims; equi-join on bucket instead of cross join
 # ---------------------------------------------------------------------------
-def _bucket(col) -> F.Column:
+def _bucket(col, dims: int = BUCKET_DIMS) -> F.Column:
     bits = [
         F.when(F.element_at(col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(BUCKET_DIMS)
+        for i in range(dims)
     ]
     return F.concat(*bits)
 
@@ -168,24 +168,56 @@ SELECT query_id, neighbor_id, rnk, sim FROM ranked WHERE rnk <= {TOP_K}
 # SIM3 — embedding-cosine near-dup: bucketed candidate pairs -> cosine gate
 # -> keeper (min vec_id).  The embedding-space member of the dedup family
 # (exact / MinHash-LSH / SimHash / n-gram Jaccard / cosine): candidates come
-# from the same sign-bucket equi-join as SIM2 (O(vectors) shuffle, never
-# O(n^2)), exact cosine runs only inside buckets.  The synthetic test
-# embeddings are random (no planted near-dups), so the default gate is
-# calibrated to that corpus; production text embeddings use ~0.9+.
+# from the same sign-bucket equi-join as SIM2, exact cosine runs only inside
+# buckets.  The synthetic test embeddings are random (no planted near-dups),
+# so the default gate is calibrated to that corpus; production text
+# embeddings use ~0.9+.
+#
+# Scale shape (the HOT_BAND_CAP twin, dedup.py:147-154): ``bucket_dims``
+# sign bits give 2^bits buckets — size it so n_vectors / 2^bits stays near
+# ``bucket_cap`` (10^9 vectors -> 16-24 bits, not this module's test-corpus
+# default of 4) — and each bucket keeps only its ``bucket_cap`` lowest
+# vec_ids before pair generation.  Candidate pairs are then bounded by
+# 2^bits * C(cap, 2) = O(n_vectors * cap) for balanced buckets, never
+# O(n^2/2^bits): a hot bucket (near-duplicate pile-up, the common case in
+# web embeddings) degrades RECALL gracefully (dups beyond the cap horizon
+# of their bucket are missed) instead of exploding the join.
 # ---------------------------------------------------------------------------
 COSINE_DUP_THRESHOLD = 0.40
+BUCKET_CAP = 128
 
 
-def embedding_near_dup(emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD) -> DataFrame:
-    """embeddings(vec_id, embedding) -> (keeper_vec_id, dup_vec_id, sim)."""
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    bucket_dims: int = BUCKET_DIMS,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """embeddings(vec_id, embedding) -> (keeper_vec_id, dup_vec_id, sim).
+
+    The ROW_NUMBER cap plans as a map-side partial WindowGroupLimit: a hot
+    bucket ships at most ``bucket_cap`` rows per input partition through
+    the bucket exchange (skew never explodes the shuffle), and in-bucket
+    pair generation is bounded by C(bucket_cap, 2).  The self-join's two
+    capped sides are identical subplans — AQE reuses the shuffle stage at
+    runtime; at 100 TB, persist the capped table first if scanning the
+    embeddings twice matters."""
+    from pyspark.sql import Window
+
     b = emb.select(
         "vec_id",
         "embedding",
-        _bucket(F.col("embedding")).alias("bucket"),
+        _bucket(F.col("embedding"), bucket_dims).alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     )
-    a = b.alias("a")
-    c = b.alias("c")
+    w = Window.partitionBy("bucket").orderBy(F.asc("vec_id"))
+    capped = (
+        b.withColumn("bpos", F.row_number().over(w))
+        .where(F.col("bpos") <= F.lit(bucket_cap))
+        .drop("bpos")
+    )
+    a = capped.alias("a")
+    c = capped.alias("c")
     pairs = a.join(c, "bucket").where(F.col("a.vec_id") < F.col("c.vec_id"))
     cos = _dot(F.col("a.embedding"), F.col("c.embedding")) / (
         F.col("a.nrm") * F.col("c.nrm")
@@ -205,12 +237,17 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(emb)
 
 
+# the oracle applies the identical per-bucket cap via a window row_number
+# (pattern: dedup.py's QUALIFY hot-band cap)
 SQL_EMBEDDING_NEAR_DUP = f"""
 WITH b AS (
   SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
+capped AS (
+  SELECT vec_id, embedding, bucket FROM b
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) <= {BUCKET_CAP}),
 p AS (
   SELECT a.vec_id AS keeper_vec_id, e.vec_id AS dup_vec_id, {_SQL_COS.replace('q.', 'a.')} AS sim
-  FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id)
+  FROM capped a JOIN capped e ON a.bucket = e.bucket AND a.vec_id < e.vec_id)
 SELECT keeper_vec_id, dup_vec_id, sim FROM p WHERE sim >= {COSINE_DUP_THRESHOLD}
 """
 

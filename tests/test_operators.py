@@ -433,3 +433,35 @@ def test_embedding_near_dup_finds_planted(spark):
         r["keeper_vec_id"] == 7 and r["dup_vec_id"] == 100007 and r["sim"] >= 0.999
         for r in out
     )
+
+
+def test_embedding_near_dup_caps_hot_bucket(spark):
+    """The per-bucket cap (HOT_BAND_CAP twin): a bucket hotter than
+    ``bucket_cap`` contributes only C(cap, 2) pairs — the cap keeps the
+    deterministic lowest vec_ids, so pair generation is O(vectors * cap)
+    at any skew instead of O(n^2/buckets)."""
+    from ocrd_tesserocr_spark.operators.similarity import embedding_near_dup
+
+    # 10 vectors, ALL in one sign bucket (leading dims positive)
+    rows = [(i, [1.0, 1.0, 1.0, 1.0, float(i % 3)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dup(emb, threshold=-1.0, bucket_cap=4).collect()
+    # exactly C(4,2)=6 pairs, only among the 4 lowest ids
+    assert len(out) == 6
+    ids = {r["keeper_vec_id"] for r in out} | {r["dup_vec_id"] for r in out}
+    assert ids == {0, 1, 2, 3}
+
+
+def test_embedding_near_dup_plan_caps_before_shuffle(spark):
+    """Scale guard: the cap literal survives into the physical plan, the
+    join is the bucket equi-join (never a cross join), and — the skew
+    armor — Spark's WindowGroupLimit applies the row_number cap PARTIALLY
+    on the map side, so a hot bucket ships at most cap rows per input
+    partition through the exchange instead of its full population."""
+    from ocrd_tesserocr_spark.operators.similarity import q_embedding_near_dup
+
+    plan = q_embedding_near_dup(spark, SF_SMOKE)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "row_number" in plan and "128" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
