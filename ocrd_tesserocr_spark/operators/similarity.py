@@ -253,16 +253,71 @@ SELECT keeper_vec_id, dup_vec_id, sim FROM p WHERE sim >= {COSINE_DUP_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
-# SIM4 — IVF-style ANN: coarse quantizer (centroid assignment) + probes.
+# SIM4 — IVF-style ANN: coarse quantizer (k-means fit) + probes.
 # The inverted-file shape: every vector is assigned to its nearest centroid
 # (a narrow map against a broadcast centroid set), queries probe their
 # NPROBE nearest centroids, and exact cosine runs only inside probed cells —
-# an equi-join on centroid_id, O(vectors) shuffle.  The centroid set here is
-# a deterministic stand-in (the first N_CENTROIDS vectors); production runs
-# a k-means fit and broadcasts the trained centroids the same way.
+# an equi-join on centroid_id, O(vectors) shuffle.
+#
+# The quantizer is a genuine (sampled) k-means: init = the first
+# N_CENTROIDS vectors, then KMEANS_ITERS Lloyd steps over the first
+# KMEANS_SAMPLE vectors with cosine assignment, expressed RELATIONALLY
+# (posexplode -> per-component mean -> reassemble) so the DuckDB oracle
+# reproduces the identical fit.  Sample smallness is the point: at 10^9
+# vectors you still fit on a bounded sample (uniform instead of the
+# deterministic prefix used here for oracle reproducibility) and broadcast
+# the trained centroids exactly the same way; the fit cost never scales
+# with the corpus.  Component means are rounded to 6 dp after every Lloyd
+# step so cross-engine float summation order cannot flip an assignment.
 # ---------------------------------------------------------------------------
 N_CENTROIDS = 8
 NPROBE = 2
+KMEANS_SAMPLE = 64
+KMEANS_ITERS = 2
+
+
+def _kmeans_centroids(emb: DataFrame) -> DataFrame:
+    """emb(vec_id, embedding) -> (centroid_id, cv array<double>): the
+    deterministic sampled Lloyd fit described above."""
+    from pyspark.sql import Window
+
+    sample = emb.where(F.col("vec_id") < KMEANS_SAMPLE).select(
+        "vec_id", "embedding"
+    )
+    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cv"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    for _ in range(KMEANS_ITERS):
+        ccos = _dot(F.col("embedding"), F.col("cv")) / (
+            _norm(F.col("embedding")) * _norm(F.col("cv"))
+        )
+        assigned = (
+            sample.crossJoin(F.broadcast(cent))
+            .select("vec_id", "embedding", "centroid_id", ccos.alias("ccos"))
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("embedding").alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("mv")
+            )
+        )
+        # an empty cluster keeps its previous centroid
+        cent = cent.join(means, "centroid_id", "left").select(
+            "centroid_id", F.coalesce("mv", "cv").alias("cv")
+        )
+    return cent
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,10 +328,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     )
-    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("cv"),
-        F.col("nrm").alias("cnrm"),
+    cent = _kmeans_centroids(_emb(spark, sf_dir)).select(
+        "centroid_id",
+        F.col("cv"),
+        _norm(F.col("cv")).alias("cnrm"),
     )
     cos_c = _dot(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
     scored_c = emb.crossJoin(F.broadcast(cent)).select(
@@ -321,10 +376,47 @@ list_sum(list_transform(list_zip(e.embedding, c.cv),
    * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE))))
 """
 
+def _sql_kmeans_cent() -> str:
+    """The identical deterministic Lloyd fit in DuckDB SQL: per-component
+    means via a lateral positional unnest, reassembled with an ordered
+    list(), rounded to 6 dp per step like the Spark side."""
+    ccos = """
+      list_sum(list_transform(list_zip(s.embedding, c.cv),
+                              p -> p[1]::DOUBLE * p[2]::DOUBLE))
+      / (sqrt(list_sum(list_transform(s.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE))))
+    """
+    parts = [
+        f"""ksample AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {KMEANS_SAMPLE}),
+cent0 AS (
+  SELECT vec_id AS centroid_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM embeddings WHERE vec_id < {N_CENTROIDS})"""
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        prev = f"cent{i - 1}"
+        parts.append(f"""assign{i} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT s.vec_id, s.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY {ccos} DESC, c.centroid_id ASC) AS r
+    FROM ksample s, {prev} c) WHERE r = 1),
+means{i} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS mv FROM (
+    SELECT centroid_id, pos, ROUND(AVG(embedding[pos]::DOUBLE), 6) AS m
+    FROM assign{i}, UNNEST(generate_series(1, len(embedding))) AS u(pos)
+    GROUP BY centroid_id, pos)
+  GROUP BY centroid_id),
+cent{i} AS (
+  SELECT c.centroid_id, COALESCE(m.mv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN means{i} m USING (centroid_id))""")
+    return ",\n".join(parts)
+
+
 SQL_ANN_IVF = f"""
-WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-  WHERE vec_id < {N_CENTROIDS}),
+WITH {_sql_kmeans_cent()},
+cent AS (
+  SELECT centroid_id, cv FROM cent{KMEANS_ITERS}),
 scored_c AS (
   SELECT e.vec_id, e.embedding, c.centroid_id, {_SQL_CCOS} AS ccos
   FROM embeddings e, cent c),

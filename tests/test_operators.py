@@ -435,6 +435,28 @@ def test_embedding_near_dup_finds_planted(spark):
     )
 
 
+def test_ann_ivf_kmeans_recall_beats_uninformative_probes(spark):
+    """The fitted coarse quantizer must be informative: probing NPROBE=2
+    of 8 k-means cells recovers well over the 2/8 = 0.25 of true top-k
+    neighbors that uninformative (random) cells would (measured 0.56 on
+    this deterministic corpus; pinned with margin for cross-run float
+    summation order in the Lloyd means)."""
+    from ocrd_tesserocr_spark.operators.similarity import (
+        q_ann_ivf,
+        q_cosine_topk,
+    )
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_ivf(spark, SF_SMOKE).collect()
+    }
+    assert len(truth & ivf) / len(truth) >= 0.45
+
+
 def test_embedding_near_dup_caps_hot_bucket(spark):
     """The per-bucket cap (HOT_BAND_CAP twin): a bucket hotter than
     ``bucket_cap`` contributes only C(cap, 2) pairs — the cap keeps the
