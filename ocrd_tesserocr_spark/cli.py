@@ -120,6 +120,32 @@ def build_parser() -> argparse.ArgumentParser:
     fs.add_argument("--output", required=True, help="output parquet path")
     fs.add_argument("--master", default=None)
 
+    st = sub.add_parser(
+        "stream",
+        help="structured-streaming variants: watch a landing directory and "
+        "run the identical kernel/operators with exactly-once checkpointed "
+        "sinks",
+    )
+    st.add_argument(
+        "--mode", choices=("extract", "dedup", "sessionize"), default="extract"
+    )
+    st.add_argument("--input", required=True,
+                    help="watched parquet directory (landing zone)")
+    st.add_argument("--output", required=True, help="append-mode parquet sink")
+    st.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint dir (resume point + state store)")
+    st.add_argument("--preset", default="recognize")
+    st.add_argument(
+        "--continuous",
+        action="store_true",
+        help="keep running on new files (default: process the available "
+        "backlog with availableNow, then stop — one snapshot's worth)",
+    )
+    st.add_argument("--max-files", type=int, default=16,
+                    help="maxFilesPerTrigger (micro-batch sizing)")
+    st.add_argument("--master", default=None)
+    _add_param_args(st)
+
     ls = sub.add_parser("list-presets", help="list stage presets")
 
     lin = sub.add_parser("lineage", help="show lineage rows for an output dir")
@@ -186,6 +212,47 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions,
             )
             print(json.dumps(res))
+            return 0
+        if args.cmd == "stream":
+            from .streaming import extract_stream, pages_stream, start_to_parquet
+
+            if args.mode == "extract":
+                from .plans import PRESETS
+
+                params = apply_cli_params(
+                    PRESETS[args.preset], args.param, args.rules
+                )
+                out = extract_stream(
+                    pages_stream(spark, args.input, args.max_files), params
+                )
+            elif args.mode == "dedup":
+                from .streaming.stateful import dedup_stream
+
+                out = dedup_stream(
+                    pages_stream(spark, args.input, args.max_files)
+                )
+            else:
+                from .streaming.stateful import sessionize_stream
+
+                # a file stream needs an explicit schema: peek the landed
+                # batch footprint (driver-side metadata read only)
+                schema = spark.read.parquet(args.input).schema
+                events = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", args.max_files)
+                    .parquet(args.input)
+                )
+                out = sessionize_stream(events)
+            q = start_to_parquet(
+                out, args.output, args.checkpoint,
+                trigger_once=not args.continuous,
+            )
+            q.awaitTermination()
+            print(json.dumps({
+                "mode": args.mode,
+                "output": args.output,
+                "checkpoint": args.checkpoint,
+            }))
             return 0
         if args.cmd == "fontshape":
             from .operators.fontshape import font_style_counts

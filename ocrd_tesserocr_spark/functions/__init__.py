@@ -5,20 +5,22 @@ template string that DuckDB evaluates to the *same value* — the foundation
 of the driver's side-by-side correctness gate.
 
 PRODUCTION NOTE — the md5 layer is an oracle-parity choice, not an engine
-dependency: every ``md5_long``/``md5_mod`` call site (minhash shingles,
-simhash word hashes, fingerprints, exact-dedup content hashes) only needs
-a uniform 64-bit hash, and in production should be ``F.xxhash64(col)``
-(or ``F.xxhash64(col, F.lit(seed))`` for the per-permutation variants) —
-one JVM intrinsic instead of md5 + hex substring + base-16 conv.
-Measured on the sf0.1 word-hash map (round 3): xxhash64 is ~1.13x faster
-— modest, because the interpreted higher-order ``transform`` around the
-hash dominates, not the hash itself.  md5 is kept because DuckDB has no
-xxhash64 twin and the correctness gate demands identical values on both
-engines; swapping is a one-line change here, with no operator logic
-depending on the hash beyond determinism + uniformity.
+dependency: every hash call site (minhash shingles, simhash word hashes,
+fingerprints, exact-dedup content hashes) only needs a uniform 64-bit
+hash and goes through the :func:`hash_long`/:func:`hash_mod` dispatchers
+below.  The production implementation is ``xxhash64`` (one JVM intrinsic
+instead of md5 + hex substring + base-16 conv) — toggle with
+``SPARK_GRAFT_HASH=xxhash64`` or :func:`set_hash_impl` — measured ~1.13x
+faster on the sf0.1 word-hash map (round 3; modest because the
+interpreted higher-order ``transform`` around the hash dominates).  md5
+stays the default because DuckDB has no xxhash64 twin and the
+correctness gate demands identical values on both engines; no operator
+logic depends on the hash beyond determinism + uniformity.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -51,3 +53,34 @@ def md5_mod(col: Column, p: int = HASH_P) -> Column:
 
 def sql_md5_mod(expr: str, p: int = HASH_P) -> str:
     return f"({sql_md5_long(expr)} % {p})"
+
+
+#: active hash implementation: 'md5' (default; DuckDB-parity) or
+#: 'xxhash64' (production intrinsic, no oracle twin).  Read at PLAN BUILD
+#: time by the dispatchers below.
+HASH_IMPL = os.environ.get("SPARK_GRAFT_HASH", "md5")
+
+
+def set_hash_impl(impl: str) -> None:
+    """Session toggle for the hash layer (the env var sets the default)."""
+    global HASH_IMPL
+    if impl not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash impl {impl!r} (md5|xxhash64)")
+    HASH_IMPL = impl
+
+
+def hash_long(col: Column) -> Column:
+    """Uniform 64-bit content hash under the active implementation.
+    xxhash64 values are signed (full int64 range) — downstream use is
+    grouping/equality only, same as md5_long's 60-bit range."""
+    if HASH_IMPL == "xxhash64":
+        return F.xxhash64(col)
+    return md5_long(col)
+
+
+def hash_mod(col: Column, p: int = HASH_P) -> Column:
+    """`hash_long` reduced into [0, p) — pmod under xxhash64 because the
+    intrinsic is signed, plain % under the nonnegative md5 path."""
+    if HASH_IMPL == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(p))
+    return md5_mod(col, p)

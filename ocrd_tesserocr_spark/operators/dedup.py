@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import HASH_P, md5_long, md5_mod, sql_md5_long, sql_md5_mod
+from ..functions import (
+    HASH_P,
+    hash_long,
+    hash_mod,
+    sql_md5_long,
+    sql_md5_mod,
+)
 
 N_HASHES = 16
 BAND_SIZE = 4
@@ -72,7 +78,7 @@ def _shingle_hashes() -> F.Column:
             F.element_at(words, i + 2),
         ),
     )
-    return F.transform(shingles, lambda s: md5_mod(s, HASH_P))
+    return F.transform(shingles, lambda s: hash_mod(s, HASH_P))
 
 
 _SQL_SHINGLE_HASHES = f"""
@@ -91,7 +97,7 @@ list_transform(
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return (
-        docs.select(md5_long(F.col("text")).alias("content_hash"), "doc_id")
+        docs.select(hash_long(F.col("text")).alias("content_hash"), "doc_id")
         .groupBy("content_hash")
         .agg(
             F.min("doc_id").alias("keeper_doc_id"),
@@ -256,7 +262,7 @@ def _vote_fn(b: int):
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
-    hs = F.transform(words, lambda w: md5_mod(w, HASH_P))
+    hs = F.transform(words, lambda w: hash_mod(w, HASH_P))
     with_h = docs.select("doc_id", hs.alias("hs"))
     sim = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import POLY_P, md5_mod, sql_md5_mod
+from ..functions import POLY_P, hash_mod, sql_md5_mod
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,7 +116,7 @@ FROM documents
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
-    hashes = F.transform(words, lambda w: md5_mod(w, POLY_P))
+    hashes = F.transform(words, lambda w: hash_mod(w, POLY_P))
     fp = F.aggregate(
         hashes,
         F.lit(0).cast("long"),
@@ -146,7 +146,7 @@ FROM w
 def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..functions import md5_long
+    from ..functions import hash_long
 
     docs = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
@@ -158,7 +158,7 @@ def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * stop_ratio
         + 0.3 * (1.0 - short_ratio)
     )
-    w = Window.partitionBy(md5_long(F.col("text"))).orderBy("doc_id")
+    w = Window.partitionBy(hash_long(F.col("text"))).orderBy("doc_id")
     keeper = F.row_number().over(w) == 1
     keep = keeper & (quality >= 0.5) & (F.col("n_chars") >= 50)
     return docs.select(

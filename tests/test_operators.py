@@ -298,6 +298,29 @@ def test_cli_extract_end_to_end(tmp_path, pages_small, spark):
     assert read_manifest(out)[0]["doc_count"] == 50
 
 
+def test_cli_stream_extract_end_to_end(tmp_path, pages_small, spark):
+    """The `stream` subcommand (VERDICT r3 item 8): availableNow over a
+    landed parquet directory runs the streaming kernel and commits an
+    exactly-once parquet sink; re-running against the same checkpoint
+    reprocesses nothing."""
+    from ocrd_tesserocr_spark.cli import main
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    pages_small.limit(30).write.parquet(src)
+    rc = main(["stream", "--mode", "extract", "--input", src,
+               "--output", out, "--checkpoint", ckpt])
+    assert rc == 0
+    extracted = spark.read.parquet(out)
+    assert extracted.count() == 30 and "text" in extracted.columns
+    # checkpoint makes a rerun a no-op (no new files landed)
+    rc2 = main(["stream", "--mode", "extract", "--input", src,
+                "--output", out, "--checkpoint", ckpt])
+    assert rc2 == 0
+    assert spark.read.parquet(out).count() == 30
+
+
 def test_cli_param_and_rules_files(tmp_path, pages_small, spark):
     """--param K=V (repeatable) and --rules rules.json reach ExtractParams
     through the existing driver-side validation (VERDICT r2 item 8)."""
@@ -397,7 +420,10 @@ def test_cli_fontshape_and_recompute_surface(capsys):
     p = build_parser()
     cmds = {a.dest: a for a in p._subparsers._group_actions}
     sub = p._subparsers._group_actions[0].choices
-    assert set(sub) == {"extract", "recompute", "fontshape", "list-presets", "lineage"}
+    assert set(sub) == {
+        "extract", "recompute", "fontshape", "list-presets", "lineage",
+        "stream",
+    }
     for preset in ("recognize", "segment", "segment_line", "segment_word",
                    "strict_main", "extract", "glyph", "sparse"):
         assert preset in PRESETS
@@ -433,6 +459,38 @@ def test_embedding_near_dup_finds_planted(spark):
         r["keeper_vec_id"] == 7 and r["dup_vec_id"] == 100007 and r["sim"] >= 0.999
         for r in out
     )
+
+
+def test_hash_impl_toggle_swaps_to_xxhash64(spark):
+    """The production hash toggle (SPARK_GRAFT_HASH / set_hash_impl):
+    under 'xxhash64' every dispatched call site plans the JVM intrinsic
+    (no md5 subtree), values stay in [0, p) via pmod, and operators run
+    end-to-end; 'md5' (the DuckDB-parity default) is restored after."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ocrd_tesserocr_spark import functions as fn
+    from ocrd_tesserocr_spark.operators.dedup import q_exact_dedup
+
+    df = spark.createDataFrame([("alpha",), ("beta",)], "text string")
+    try:
+        fn.set_hash_impl("xxhash64")
+        plan = df.select(fn.hash_long(F.col("text")))._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "xxhash64" in plan and "md5" not in plan
+        rows = df.select(fn.hash_mod(F.col("text")).alias("h")).collect()
+        assert all(0 <= r["h"] < fn.HASH_P for r in rows)
+        # an operator built under the toggle plans the intrinsic too
+        dedup_plan = q_exact_dedup(spark, SF_SMOKE)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "xxhash64" in dedup_plan and "md5" not in dedup_plan
+    finally:
+        fn.set_hash_impl("md5")
+    plan_md5 = df.select(fn.hash_long(F.col("text")))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "md5" in plan_md5
+    with pytest.raises(ValueError):
+        fn.set_hash_impl("crc32")
 
 
 def test_ann_ivf_kmeans_recall_beats_uninformative_probes(spark):
