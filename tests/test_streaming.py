@@ -282,6 +282,75 @@ def test_dedup_fn_keeper_spans_chunks():
     assert st.get == (True, "https://a.example/1", 5)
 
 
+def test_session_close_is_strict_at_watermark_boundary():
+    """Watermark semantics keep rows whose event time EQUALS the watermark,
+    so when wm == last+gap an event at exactly last+gap can still arrive
+    — and it would JOIN the session (e <= last+gap).  The close test must
+    therefore be strict: at the boundary the session stays open, its
+    event-time timeout is nudged past the watermark (Spark rejects a
+    timeout <= wm), and 1 ms later it closes (unit-level: fake GroupState
+    replaying _session_fn_event)."""
+    import pandas as pd
+
+    from ocrd_tesserocr_spark.streaming.stateful import (
+        SESSION_GAP_SEC,
+        _session_fn_event,
+    )
+
+    class FakeState:
+        def __init__(self, wm_ms):
+            self._v = None
+            self.hasTimedOut = False
+            self.wm_ms = wm_ms
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def setTimeoutTimestamp(self, ms):
+            assert ms > self.wm_ms, "Spark rejects a timeout <= watermark"
+            self.timeout_ms = ms
+
+    last = 10_000
+    boundary_ms = (last + SESSION_GAP_SEC) * 1000
+    # watermark EXACTLY at last+gap: not yet proof — stays open
+    st = FakeState(boundary_ms)
+    [out] = list(_session_fn_event(
+        (1,), iter([pd.DataFrame({"epoch": [9_000, last]})]), st
+    ))
+    assert len(out) == 0
+    assert st.get == ([9_000], [last], [2])
+    assert st.timeout_ms == boundary_ms + 1  # nudged strictly past wm
+    # the boundary event arrives at wm == last+gap: it must still join
+    st.wm_ms = boundary_ms
+    [out_b] = list(_session_fn_event(
+        (1,), iter([pd.DataFrame({"epoch": [last + SESSION_GAP_SEC]})]), st
+    ))
+    assert len(out_b) == 0 and st.get[1] == [last + SESSION_GAP_SEC]
+    # watermark 1 ms past the (new) end+gap: proof — closes as ONE session
+    st.wm_ms = (last + 2 * SESSION_GAP_SEC) * 1000 + 1
+    st.hasTimedOut = True
+    [out2] = list(_session_fn_event((1,), iter([]), st))
+    assert [tuple(r) for r in out2.itertuples(index=False)] == [
+        (1, 9_000, last + SESSION_GAP_SEC, 3)
+    ]
+    assert not st.exists
+
+
 def test_sessionize_stream_equals_batch_on_real_events(spark, tmp_path):
     """End-to-end equivalence on the real events table: once the watermark
     passes every session's end+gap (driven by sentinel events), the
