@@ -148,16 +148,19 @@ def pair_quality(r: dict) -> float:
     return min(socs)
 
 def rep_sanity(r: dict) -> dict:
-    """Normalizer-sanity screen for a 4->16 rep (VERDICT r3 item 2): a
-    rep whose calibration probes or same-kernel controls did not
-    themselves scale plausibly between the two legs measured two
-    different machines — its normalized efficiencies are garbage and
-    it must not be SELECTED (it stays in the evidence).  Healthy
-    bounds: the pure-CPU probe and the multiprocessing control each
-    scale 4->16 by ~3-3.3x on this VM (ceiling ~0.8); accept [2, 4.8].
-    Spark-over-control outside [0.5, 1.6] on either leg means one side
-    of that leg was degraded (soc ~0.9-1.0 calm, up to ~1.3 when the
-    control window degrades mildly)."""
+    """Normalizer-sanity screen for a 4->16 rep (VERDICT r3 item 2).
+
+    DEGENERATE (reject — the normalized efficiencies are garbage and the
+    rep must not be SELECTED, though it stays in the evidence): a probe
+    or control that ANTI-scaled between the legs (ratio < 1, e.g. r3's
+    calib 3.187 -> 1.803 which produced "steal-normalized 4.123"), or a
+    spark-over-control outside [0.5, 1.6] on either leg (one side of
+    that leg's window collapsed, e.g. r3's soc 2.496).
+
+    A LOW-but->=1 ratio with healthy socs is NOT degenerate: it is a
+    consistent measurement of a window where the machine itself refused
+    to deliver 4x CPU — exactly the case the control-normalized
+    criterion arm exists for."""
     lo, hi = r["runs"][4], r["runs"][16]
     c_lo, c_hi = lo.get("calib_chunks_per_sec"), hi.get("calib_chunks_per_sec")
     k_lo, k_hi = lo.get("control_docs_per_sec"), hi.get("control_docs_per_sec")
@@ -165,8 +168,8 @@ def rep_sanity(r: dict) -> dict:
     control_ratio = round(k_hi / k_lo, 3) if k_lo and k_hi else None
     socs = [lo.get("spark_over_control"), hi.get("spark_over_control")]
     ok = (
-        calib_ratio is not None and 2.0 <= calib_ratio <= 4.8
-        and control_ratio is not None and 2.0 <= control_ratio <= 4.8
+        calib_ratio is not None and calib_ratio >= 1.0
+        and control_ratio is not None and control_ratio >= 1.0
         and all(s is not None and 0.5 <= s <= 1.6 for s in socs)
     )
     return {"calib_ratio": calib_ratio, "control_ratio": control_ratio,
@@ -174,12 +177,20 @@ def rep_sanity(r: dict) -> dict:
 
 def rep_meets_criterion(r: dict) -> bool:
     """The north-rule acceptance shape: raw >= 0.8, or both legs healthy
-    (soc >= 0.8) with control-normalized >= 0.8.  The normalized arm only
-    counts for a SANE rep — an insane rep's eff_control is derived from a
-    garbage normalizer and cannot satisfy the criterion."""
-    return r["eff_raw"] >= 0.8 or (
+    with control-normalized >= 0.8.  For the normalized arm, "healthy"
+    means soc in [0.8, 1.25] on BOTH legs: the lower bound rejects a
+    degraded Spark leg, the upper bound rejects an arm satisfied by an
+    INFLATED normalizer (Spark "beating" the same-kernel control by >25%
+    at 4-16 cores means the control's window collapsed, not that the
+    engine scaled); and the rep must pass the sanity screen."""
+    if r["eff_raw"] >= 0.8:
+        return True
+    socs = [
+        r["runs"][c].get("spark_over_control") or 0.0 for c in (4, 16)
+    ]
+    return (
         rep_sanity(r)["sane"]
-        and pair_quality(r) >= 0.8
+        and all(0.8 <= s <= 1.25 for s in socs)
         and r["eff_control"] >= 0.8
     )
 

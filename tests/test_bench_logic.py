@@ -46,11 +46,12 @@ CLEAN_REP = _rep(2000.0, 6512.0, 3.2, 10.3, 2200.0, 7040.0)
 
 
 def test_r3_selected_rep_fails_sanity():
-    # rep 3's 16-leg calibration collapsed (1.803 < 3.187): ratio 0.57
+    # rep 3's 16-leg calibration ANTI-scaled (1.803 < 3.187, ratio 0.57):
+    # the degenerate normalizer that produced "steal-normalized 4.123"
     s = rep_sanity(R3_REP_3)
     assert s["calib_ratio"] < 1 and not s["sane"]
-    # rep 1's 16-leg CONTROL collapsed (2611 ~ control_4): ratio 1.05,
-    # soc_16 2.496 — also insane, even though its raw eff is the best
+    # rep 1's 16-leg CONTROL collapsed: soc_16 2.496 way outside
+    # [0.5, 1.6] — insane even though its raw eff is the best
     s1 = rep_sanity(R3_REP_1)
     assert not s1["sane"]
     # rep 2's normalizers are fine but both Spark legs were degraded
@@ -83,6 +84,43 @@ def test_selector_prefers_sane_over_higher_soc():
         key=lambda r: (rep_sanity(r)["sane"], rep_meets_criterion(r), pair_quality(r)),
     )
     assert best_r3 is R3_REP_1
+
+
+# two shipped round-4 reps (BENCH_evidence.json, first round-4 run):
+# rep D — a window where the MACHINE refused to scale (control only
+# 1.25x for 4x cores) but the measurement is consistent: both socs
+# healthy, control-normalized 0.961.  rep C — Spark "beat" the control
+# 1.48x on the 16-leg (the control's window collapsed mid-leg).
+R4_REP_D = _rep(2030.0, 2433.1, 2.968, 5.76, 2303.4, 2872.1)
+R4_REP_C = _rep(2303.5, 5218.7, 2.961, 5.568, 2828.7, 3528.6)
+
+
+def test_nonscaling_machine_with_healthy_socs_is_sane_and_meets_criterion():
+    """A low-but->=1 control ratio with both socs in [0.8, 1.25] is a
+    consistent measurement of a non-scaling window — the exact case the
+    control-normalized criterion arm exists for (engine tracked the
+    no-framework control at both levels)."""
+    s = rep_sanity(R4_REP_D)
+    assert s["sane"] and 1.0 <= s["control_ratio"] < 2.0
+    assert R4_REP_D["eff_raw"] < 0.8  # the machine capped raw
+    assert R4_REP_D["eff_control"] >= 0.8
+    assert rep_meets_criterion(R4_REP_D)
+
+
+def test_inflated_control_cannot_satisfy_normalized_arm():
+    """soc 1.479 on the 16-leg means the CONTROL degraded, inflating
+    eff_control to 1.816 — the [0.8, 1.25] soc bound on the normalized
+    arm rejects it (and raw 0.566 fails the raw arm)."""
+    s = rep_sanity(R4_REP_C)
+    assert s["sane"]  # ratios >= 1, socs within the loose [0.5, 1.6]
+    assert R4_REP_C["eff_control"] > 1.5  # visibly inflated
+    assert not rep_meets_criterion(R4_REP_C)
+    # selection: D (criterion met) outranks C despite C's higher soc_16
+    best = max(
+        [R4_REP_C, R4_REP_D],
+        key=lambda r: (rep_sanity(r)["sane"], rep_meets_criterion(r), pair_quality(r)),
+    )
+    assert best is R4_REP_D
 
 
 def test_compact_result_line_fits_capture_window():
