@@ -246,6 +246,10 @@ def _block_effective(params: ExtractParams, attrs: dict):
     '+'-joined rule models are used jointly, verbatim), so auto_model
     scoring must only ever apply to the preset model.
     """
+    if not params.block_rules and not params.model_rules:
+        # no-rules fast path (the common production config): skip the
+        # override scan entirely — callers then need not build attrs
+        return params, params.model, False
     eff = params
     overrides: dict = {}
     for expr, pairs in params.block_rules:
@@ -682,7 +686,10 @@ def _assemble_block(raw: _RawBlock) -> dict:
     link_chars = 0
     any_style = False
     for part, in_link, sbits in raw.parts:
-        n = len(part.replace(" ", "").replace("\n", ""))
+        # non-whitespace char count; count() beats building two stripped
+        # copies via replace() (same value: parts only carry ' '/'\n'
+        # whitespace after the tokenizer's _WS_RE normalization)
+        n = len(part) - part.count(" ") - part.count("\n")
         total_chars += n
         if in_link:
             link_chars += n
@@ -812,16 +819,20 @@ def extract_document(html: bytes | str | None,
     for idx, a in enumerate(assembled):
         block_id = "block%04d" % idx
         # per-segment dynamic config (xpath_parameters/xpath_model
-        # analogue): rules see the block's classification inputs
-        attrs = {
-            "kind": a["kind"],
-            "n_chars": a["n_chars"],
-            "link_density": a["link_density"],
-            "text_density": a["text_density"],
-            "rtl": a["rtl"],
-            "join": a["join"],
-        }
-        eff, model, model_from_rule = _block_effective(params, attrs)
+        # analogue): rules see the block's classification inputs (the
+        # attrs dict is only built when a rule could read it)
+        if params.block_rules or params.model_rules:
+            attrs = {
+                "kind": a["kind"],
+                "n_chars": a["n_chars"],
+                "link_density": a["link_density"],
+                "text_density": a["text_density"],
+                "rtl": a["rtl"],
+                "join": a["join"],
+            }
+            eff, model, model_from_rule = _block_effective(params, attrs)
+        else:
+            eff, model, model_from_rule = params, params.model, False
         # in-kernel auto_model (recognize.py:266-277): '+'-joined candidates
         # are each scored on THIS block; the argmax (first on ties, like
         # np.argmax) becomes the block's model and its confusion table
@@ -890,6 +901,17 @@ def extract_document(html: bytes | str | None,
         b_start = pos
         lines_out = []
         line_confs = []
+        # emission gate (textequiv_level): structure below the exit level
+        # never crosses the batch boundary — and is never BUILT (true lazy
+        # emission, the analogue of running lower RIL levels only when
+        # asked, recognize.py:806-856); per-block rules may deepen/shallow
+        # the level for matching blocks.  Offsets and confidences are
+        # computed identically at every level — only dict construction is
+        # skipped.  The production 'extract' preset is block-level, so
+        # this skip is its hot path.
+        level = eff.textequiv_level
+        emit_lines = level in ("line", "word", "glyph")
+        emit_words = level in ("word", "glyph")
         for li, words in enumerate(a["line_words"]):
             if li > 0:
                 doc_parts.append("\n")
@@ -897,7 +919,7 @@ def extract_document(html: bytes | str | None,
             l_start = pos
             words_out = []
             wconfs = []
-            line_prefix = "%s_line%04d" % (block_id, li)
+            line_prefix = "%s_line%04d" % (block_id, li) if emit_lines else ""
             for wi, (w, sbits) in enumerate(words):
                 if wi > 0:
                     doc_parts.append(" ")
@@ -907,9 +929,11 @@ def extract_document(html: bytes | str | None,
                 pos += len(w)
                 c = word_conf(w)
                 wconfs.append(c)
+                if not emit_words:
+                    continue
                 word_id = "%s_word%04d" % (line_prefix, wi)
                 glyphs = []
-                if eff.textequiv_level == "glyph":
+                if level == "glyph":
                     # symbol-level descent with ranked choices
                     # (recognize.py:816-856)
                     glyphs = [
@@ -940,26 +964,19 @@ def extract_document(html: bytes | str | None,
                 )
             lconf = sum(wconfs) / len(wconfs) if wconfs else 0.0
             line_confs.append(lconf)
-            lines_out.append(
-                {
-                    "line_id": line_prefix,
-                    "char_start": l_start,
-                    "char_end": pos,
-                    "text": " ".join(w for w, _ in words),
-                    "conf": lconf,
-                    "words": words_out,
-                }
-            )
+            if emit_lines:
+                lines_out.append(
+                    {
+                        "line_id": line_prefix,
+                        "char_start": l_start,
+                        "char_end": pos,
+                        "text": " ".join(w for w, _ in words),
+                        "conf": lconf,
+                        "words": words_out,
+                    }
+                )
         bconf = sum(line_confs) / len(line_confs) if line_confs else 0.0
         main_confs.append(bconf)
-        # emission gate (textequiv_level): structure below the exit level
-        # never crosses the batch boundary (lazy emission, the analogue of
-        # running lower RIL levels only when asked, recognize.py:806-856);
-        # per-block rules may deepen/shallow the level for matching blocks
-        if eff.textequiv_level == "block":
-            lines_out = []
-        elif eff.textequiv_level == "line":
-            lines_out = [dict(ln, words=[]) for ln in lines_out]
         blocks.append(
             {
                 "block_id": block_id,
