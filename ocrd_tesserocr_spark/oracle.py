@@ -444,6 +444,11 @@ def _unquote_attr(v: str) -> str:
     return unescape(v) if "&" in v else v
 
 
+#: shared read-only dict for attribute-free tags (never mutated — the
+#: parser only ever .get()s from it)
+_EMPTY_ATTRS: dict = {}
+
+
 class _BlockParser:
     """Streaming DOM tokenizer -> flat list of raw blocks in document order.
 
@@ -479,7 +484,8 @@ class _BlockParser:
             if m.start() > pos:
                 self._data(html[pos : m.start()])
             pos = m.end()
-            start_name = m.group(2)
+            # one C call for all four groups instead of four lookups
+            end_name, start_name, attrs_raw, selfclose = m.group(1, 2, 3, 4)
             if start_name is not None:
                 tag = start_name.lower()
                 if tag in _SKIP_CONTENT:
@@ -492,8 +498,7 @@ class _BlockParser:
                     k = lower.find(">", j)
                     pos = n if k < 0 else k + 1
                     continue
-                attrs_raw = m.group(3)
-                attrs = []
+                attrs = ()
                 if attrs_raw and (
                     "dir" in attrs_raw
                     or "data-join" in attrs_raw
@@ -503,12 +508,11 @@ class _BlockParser:
                         (a.lower(), _unquote_attr(v))
                         for a, v in _ATTR_RE.findall(attrs_raw)
                     ]
-                if m.group(4):
+                if selfclose:
                     self.handle_startendtag(tag, attrs)
                 else:
                     self.handle_starttag(tag, attrs)
                 continue
-            end_name = m.group(1)
             if end_name is not None:
                 self.handle_endtag(end_name.lower())
             # comments / doctype / bogus markup: dropped
@@ -563,7 +567,10 @@ class _BlockParser:
 
     # -- HTMLParser hooks --------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
-        a = dict(attrs)
+        # attrs is () for the overwhelmingly common attribute-free tag
+        # (feed only parses attrs when dir/data-* appear): reuse one
+        # read-only empty dict instead of building 200k+ throwaways
+        a = dict(attrs) if attrs else _EMPTY_ATTRS
         if tag in _SKIP_CONTENT:
             self._skip_depth += 1
             return
