@@ -38,10 +38,13 @@ REPLICATION = int(os.environ.get("BENCH_REPLICATION", "64"))
 #: regime flips on ~3-5 min scales, and a 320k-doc 4-core leg (~8 min with
 #: warmup+calibration+control) cannot sit inside one regime — the adjacent
 #: control then measures a different machine than the Spark run it
-#: normalizes (observed: mid_over_pre 2.06 inside one leg).  ~80k docs
+#: normalizes (observed: mid_over_pre 2.06 inside one leg).  The slice
 #: keeps each leg block ~1-3 min, so retries can actually land in a calm
-#: window, and docs/sec is steady-state either way.
-REPLICATION_PAIR = int(os.environ.get("BENCH_REPLICATION_PAIR", "16"))
+#: window, and docs/sec is steady-state either way.  x32 (160k docs) since
+#: the round-4 kernel went 2x faster: at x16 the 16-core leg walled in
+#: ~7 s and fixed per-job overhead dominated the reading (soc sank to
+#: ~0.71 with the ratio still consistent).
+REPLICATION_PAIR = int(os.environ.get("BENCH_REPLICATION_PAIR", "32"))
 DOC_REPEAT = int(os.environ.get("BENCH_DOC_REPEAT", "8"))
 #: max repetitions of the PRIMARY (4 -> 16) scaling pair; re-runs trigger
 #: while the best rep's worst-leg spark_over_control stays below the
