@@ -53,6 +53,33 @@ def test_oracle_arbitrary_bytes_never_raise(payload):
     assert isinstance(out["failed"], bool)
 
 
+@settings(max_examples=100, deadline=None)
+@given(_chunks)
+def test_emission_levels_project_consistently(chunks):
+    """Lazy emission (round 4: sub-level structure is never BUILT below
+    the textequiv_level) must be a pure projection: for any tag soup, the
+    block-level output equals the word-level output with lines dropped,
+    and line-level equals word-level with words dropped — offsets,
+    confidences, and doc text identical at every level."""
+    from ocrd_tesserocr_spark.oracle import ExtractParams
+
+    html = ("<html><body>" + "".join(chunks) + "</body></html>").encode("utf-8")
+    word = extract_document(html, ExtractParams(textequiv_level="word"))
+    line = extract_document(html, ExtractParams(textequiv_level="line"))
+    block = extract_document(html, ExtractParams(textequiv_level="block"))
+    for k in ("text", "conf", "failed", "features"):
+        assert word[k] == line[k] == block[k]
+
+    def drop_words(b):
+        return dict(b, lines=[dict(ln, words=[]) for ln in b["lines"]])
+
+    def drop_lines(b):
+        return dict(b, lines=[])
+
+    assert [drop_words(b) for b in word["blocks"]] == line["blocks"]
+    assert [drop_lines(b) for b in word["blocks"]] == block["blocks"]
+
+
 def test_salted_repartition_flattens_skewed_hosts(spark, pages_small):
     """~30% of urls share one host (corpus.py Zipf skew); hashing
     (url, salt) must still spread docs near-uniformly across partitions."""
