@@ -292,6 +292,20 @@ _SKIP_CONTENT = {"script", "style", "template", "noscript", "title"}
 # boilerplate containers: descendants are noise (NoiseRegion analogue)
 _BOILERPLATE = {"nav", "header", "footer", "aside"}
 
+# one dict lookup per tag instead of a chain of set-membership tests in
+# the parser's hottest hooks (the tag sets above are disjoint; 0 = any
+# other tag, the most common case in real markup)
+_CAT_SKIP, _CAT_BOILER, _CAT_VOID, _CAT_BR, _CAT_A, _CAT_STYLE, _CAT_BLOCK = (
+    1, 2, 3, 4, 5, 6, 7,
+)
+_TAG_CAT = {t: _CAT_SKIP for t in _SKIP_CONTENT}
+_TAG_CAT.update({t: _CAT_BOILER for t in _BOILERPLATE})
+_TAG_CAT.update({t: _CAT_VOID for t in _VOID_KIND})
+_TAG_CAT["br"] = _CAT_BR
+_TAG_CAT["a"] = _CAT_A
+_TAG_CAT.update({t: _CAT_STYLE for t in _STYLE_BITS})
+_TAG_CAT.update({t: _CAT_BLOCK for t in _BLOCK_KIND})
+
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 _WORD_RE = re.compile(r"\S+")
 _ALNUM_RE = re.compile(r"[0-9A-Za-z\u00c0-\u024f\u0590-\u06ff\u4e00-\u9fff]")
@@ -567,24 +581,34 @@ class _BlockParser:
 
     # -- HTMLParser hooks --------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
-        # attrs is () for the overwhelmingly common attribute-free tag
-        # (feed only parses attrs when dir/data-* appear): reuse one
-        # read-only empty dict instead of building 200k+ throwaways
-        a = dict(attrs) if attrs else _EMPTY_ATTRS
-        if tag in _SKIP_CONTENT:
+        cat = _TAG_CAT.get(tag, 0)
+        if cat == _CAT_SKIP:
             self._skip_depth += 1
             return
         if self._skip_depth:
             return
-        d = a.get("dir", "").lower()
-        if d in ("rtl", "ltr"):
-            self._dir_stack.append(d == "rtl")
-            self._dir_tags.append(tag)
-        if tag in _BOILERPLATE:
+        # attrs is () for the overwhelmingly common attribute-free tag
+        # (feed only parses attrs when dir/data-* appear): reuse one
+        # read-only empty dict instead of building 200k+ throwaways, and
+        # skip the dir check entirely when there are no attrs
+        if attrs:
+            a = dict(attrs)
+            d = a.get("dir", "").lower()
+            if d in ("rtl", "ltr"):
+                self._dir_stack.append(d == "rtl")
+                self._dir_tags.append(tag)
+        else:
+            a = _EMPTY_ATTRS
+        if cat == 0:  # any other tag: counts toward text_density only
+            top = self._top()
+            if top is not None:
+                top.tag_count += 1
+            return
+        if cat == _CAT_BOILER:
             self._boiler_depth += 1
             self._close_implicit()
             return
-        if tag in _VOID_KIND:
+        if cat == _CAT_VOID:
             self._close_implicit()
             self.blocks.append(
                 _RawBlock(
@@ -593,40 +617,38 @@ class _BlockParser:
                 )
             )
             return
-        if tag == "br":
+        if cat == _CAT_BR:
             top = self._top()
             if top is not None:
                 top.parts.append(("\n", False, 0))
             return
-        if tag == "a":
+        if cat == _CAT_A:
             self._link_depth += 1
             top = self._top()
             if top is not None:
                 top.tag_count += 1
             return
-        if tag in _STYLE_BITS:
+        if cat == _CAT_STYLE:
             self._style_depth[tag] += 1
             self._style_bits |= _STYLE_BITS[tag]
             top = self._top()
             if top is not None:
                 top.tag_count += 1
             return
-        if tag in _BLOCK_KIND:
-            self._close_implicit()
-            self._open_block(_BLOCK_KIND[tag], a)
-            self._open_tags.append(tag)
-            return
-        top = self._top()
-        if top is not None:
-            top.tag_count += 1
+        # _CAT_BLOCK
+        self._close_implicit()
+        self._open_block(_BLOCK_KIND[tag], a)
+        self._open_tags.append(tag)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
-        if tag in _BLOCK_KIND or tag in _STYLE_BITS:
+        cat = _TAG_CAT.get(tag, 0)
+        if cat == _CAT_BLOCK or cat == _CAT_STYLE:
             self.handle_endtag(tag)
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in _SKIP_CONTENT:
+        cat = _TAG_CAT.get(tag, 0)
+        if cat == _CAT_SKIP:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
         if self._skip_depth:
@@ -637,20 +659,20 @@ class _BlockParser:
         if self._dir_tags and self._dir_tags[-1] == tag:
             self._dir_tags.pop()
             self._dir_stack.pop()
-        if tag in _BOILERPLATE:
+        if cat == _CAT_BOILER:
             self._boiler_depth = max(0, self._boiler_depth - 1)
             return
-        if tag == "a":
+        if cat == _CAT_A:
             self._link_depth = max(0, self._link_depth - 1)
             return
-        if tag in _STYLE_BITS:
+        if cat == _CAT_STYLE:
             d = self._style_depth
             if d[tag] > 0:
                 d[tag] -= 1
                 if d[tag] == 0:
                     self._style_bits &= ~_STYLE_BITS[tag]
             return
-        if tag in _BLOCK_KIND:
+        if cat == _CAT_BLOCK:
             # close innermost matching open block (lenient like the parser)
             self._close_implicit()
             if self._open_tags and self._open_tags[-1] == tag:
