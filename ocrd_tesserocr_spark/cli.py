@@ -225,24 +225,33 @@ def main(argv: list[str] | None = None) -> int:
                 out = extract_stream(
                     pages_stream(spark, args.input, args.max_files), params
                 )
-            elif args.mode == "dedup":
-                from .streaming.stateful import dedup_stream
-
-                out = dedup_stream(
-                    pages_stream(spark, args.input, args.max_files)
-                )
             else:
-                from .streaming.stateful import sessionize_stream
+                # extraction parameters have no meaning for the stateful
+                # operators: fail fast instead of silently ignoring them
+                if args.param or args.rules:
+                    raise SystemExit(
+                        f"--param/--rules only apply to --mode extract, "
+                        f"not {args.mode!r}"
+                    )
+                if args.mode == "dedup":
+                    from .streaming.stateful import dedup_stream
 
-                # a file stream needs an explicit schema: peek the landed
-                # batch footprint (driver-side metadata read only)
-                schema = spark.read.parquet(args.input).schema
-                events = (
-                    spark.readStream.schema(schema)
-                    .option("maxFilesPerTrigger", args.max_files)
-                    .parquet(args.input)
-                )
-                out = sessionize_stream(events)
+                    out = dedup_stream(
+                        pages_stream(spark, args.input, args.max_files)
+                    )
+                else:
+                    from .schemas import EVENTS_SCHEMA
+                    from .streaming.stateful import sessionize_stream
+
+                    # explicit schema: a batch-read inference would crash
+                    # on an EMPTY landing directory — the normal initial
+                    # state for a watcher
+                    events = (
+                        spark.readStream.schema(EVENTS_SCHEMA)
+                        .option("maxFilesPerTrigger", args.max_files)
+                        .parquet(args.input)
+                    )
+                    out = sessionize_stream(events)
             q = start_to_parquet(
                 out, args.output, args.checkpoint,
                 trigger_once=not args.continuous,

@@ -74,10 +74,11 @@ def q_font_style_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sf001_cache() -> str:
     # the driver's correctness gate runs at sf0.01; the static oracle SQL
     # below points at that corpus' cache (materialized by oracle_sql());
-    # the path is version-tokened so semantic changes invalidate it
+    # the path is version-tokened so semantic changes invalidate it.
+    # only the corpus NAME matters — the cache layout is repo-relative
     from ..corpus import pages_cache_path
 
-    return pages_cache_path("/root/testdata/sf0.01")
+    return pages_cache_path("sf0.01")
 
 
 SQL_FONT_STYLE = f"""
@@ -91,7 +92,7 @@ FROM read_parquet('{_sf001_cache()}')
 def _words_cache() -> str:
     from ..corpus import words_cache_path
 
-    return words_cache_path("/root/testdata/sf0.01")
+    return words_cache_path("sf0.01")
 
 
 SQL_FONT_STYLE_WORDS = f"""

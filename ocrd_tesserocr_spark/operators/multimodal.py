@@ -243,9 +243,10 @@ def _sniff_case_sql() -> str:
 
 
 def _sf001_cache() -> str:
+    # only the corpus NAME matters — the cache layout is repo-relative
     from ..corpus import pages_cache_path
 
-    return pages_cache_path("/root/testdata/sf0.01")
+    return pages_cache_path("sf0.01")
 
 
 SQL_MEDIA_META = f"""

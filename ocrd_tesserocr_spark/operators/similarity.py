@@ -328,7 +328,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     )
-    cent = _kmeans_centroids(_emb(spark, sf_dir)).select(
+    # the fit reuses the SAME projected source (no second parquet listing):
+    # the vec_id < sample filters push through the repartition to the scan
+    cent = _kmeans_centroids(emb).select(
         "centroid_id",
         F.col("cv"),
         _norm(F.col("cv")).alias("cnrm"),

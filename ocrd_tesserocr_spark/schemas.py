@@ -31,6 +31,22 @@ PAGES_SCHEMA = T.StructType(
 )
 
 # ---------------------------------------------------------------------------
+# input: events table (the driver's testdata shape) — streaming
+# sessionization's file source needs an EXPLICIT schema (a batch-read
+# inference would crash on an empty landing directory)
+# ---------------------------------------------------------------------------
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
 # output: extracted span hierarchy (FIXTURES.md section 2)
 #   Word  ~ PAGE Word           (recognize.py:782-814)
 #   Line  ~ PAGE TextLine       (recognize.py:735-780)

@@ -321,6 +321,33 @@ def test_cli_stream_extract_end_to_end(tmp_path, pages_small, spark):
     assert spark.read.parquet(out).count() == 30
 
 
+def test_cli_stream_sessionize_starts_on_empty_landing_dir(tmp_path, spark):
+    """A watcher's normal initial state is an empty landing directory:
+    the sessionize mode must start from its explicit schema instead of
+    crashing on batch-read schema inference (review finding)."""
+    from ocrd_tesserocr_spark.cli import main
+
+    src = tmp_path / "events_landing"
+    src.mkdir()
+    rc = main(["stream", "--mode", "sessionize", "--input", str(src),
+               "--output", str(tmp_path / "out"),
+               "--checkpoint", str(tmp_path / "ckpt")])
+    assert rc == 0
+
+
+def test_cli_stream_rejects_extract_params_for_stateful_modes(tmp_path):
+    """--param/--rules silently ignored would mislead; stateful modes
+    fail fast."""
+    import pytest
+
+    from ocrd_tesserocr_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["stream", "--mode", "dedup", "--param", "model=x",
+              "--input", str(tmp_path), "--output", str(tmp_path / "o"),
+              "--checkpoint", str(tmp_path / "c")])
+
+
 def test_cli_param_and_rules_files(tmp_path, pages_small, spark):
     """--param K=V (repeatable) and --rules rules.json reach ExtractParams
     through the existing driver-side validation (VERDICT r2 item 8)."""
