@@ -179,14 +179,18 @@ def rep_sanity(r: dict) -> dict:
             "sane": ok}
 
 def rep_meets_criterion(r: dict) -> bool:
-    """The north-rule acceptance shape: raw >= 0.8, or both legs healthy
-    with control-normalized >= 0.8.  For the normalized arm, "healthy"
-    means soc in [0.8, 1.25] on BOTH legs: the lower bound rejects a
-    degraded Spark leg, the upper bound rejects an arm satisfied by an
-    INFLATED normalizer (Spark "beating" the same-kernel control by >25%
-    at 4-16 cores means the control's window collapsed, not that the
-    engine scaled); and the rep must pass the sanity screen."""
-    if r["eff_raw"] >= 0.8:
+    """The north-rule acceptance shape: raw in [0.8, 1.05], or both legs
+    healthy with control-normalized >= 0.8.  The raw arm is CAPPED:
+    super-linear scaling on identical hardware is impossible, so raw > ~1
+    only ever means the 4-core baseline leg was degraded (a run-7 rep
+    shipped raw 1.125 off a soc-0.646 4-leg before this cap).  For the
+    normalized arm, "healthy" means soc in [0.8, 1.25] on BOTH legs: the
+    lower bound rejects a degraded Spark leg, the upper bound rejects an
+    arm satisfied by an INFLATED normalizer (Spark "beating" the
+    same-kernel control by >25% at 4-16 cores means the control's window
+    collapsed, not that the engine scaled); and the rep must pass the
+    sanity screen."""
+    if 0.8 <= r["eff_raw"] <= 1.05:
         return True
     socs = [
         r["runs"][c].get("spark_over_control") or 0.0 for c in (4, 16)

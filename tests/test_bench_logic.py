@@ -123,6 +123,21 @@ def test_inflated_control_cannot_satisfy_normalized_arm():
     assert best is R4_REP_D
 
 
+# a shipped run-7 rep: raw 1.125 off a degraded 4-leg (soc 0.646) with
+# an over-reading 16-leg control (soc 1.338) — sane by the screen's loose
+# bounds, but super-linear raw is physically impossible in a clean pair
+R4_REP_SUPERLINEAR = _rep(2084.9, 9382.6, 2.969, 9.293, 3227.4, 7013.0)
+
+
+def test_superlinear_raw_cannot_satisfy_criterion():
+    s = rep_sanity(R4_REP_SUPERLINEAR)
+    assert s["sane"]  # the loose screen keeps it as selectable evidence
+    assert R4_REP_SUPERLINEAR["eff_raw"] > 1.05
+    # neither arm: raw is capped, and soc_16 1.338 > 1.25 blocks the
+    # normalized arm
+    assert not rep_meets_criterion(R4_REP_SUPERLINEAR)
+
+
 def test_compact_result_line_fits_capture_window():
     """The driver tail-captures ~2 KB; the printed result line must stay
     under 1.5 KB with a full queries map and extraction block."""
