@@ -189,12 +189,17 @@ def rep_meets_criterion(r: dict) -> bool:
     arm satisfied by an INFLATED normalizer (Spark "beating" the
     same-kernel control by >25% at 4-16 cores means the control's window
     collapsed, not that the engine scaled); and the rep must pass the
-    sanity screen."""
-    if 0.8 <= r["eff_raw"] <= 1.05:
-        return True
+    sanity screen.  The raw arm additionally requires BOTH legs at
+    soc >= 0.7: a ratio computed off a leg running far below its own
+    same-kernel control is inflated by the same mechanism the 1.05 cap
+    rejects, just less extremely (a run-8 rep carried raw 0.925 off a
+    soc-0.521 baseline; every clean-window >= 0.8 run this round had
+    both legs >= 0.71)."""
     socs = [
         r["runs"][c].get("spark_over_control") or 0.0 for c in (4, 16)
     ]
+    if 0.8 <= r["eff_raw"] <= 1.05 and min(socs) >= 0.7:
+        return True
     return (
         rep_sanity(r)["sane"]
         and all(0.8 <= s <= 1.25 for s in socs)

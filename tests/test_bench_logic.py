@@ -138,6 +138,18 @@ def test_superlinear_raw_cannot_satisfy_criterion():
     assert not rep_meets_criterion(R4_REP_SUPERLINEAR)
 
 
+def test_raw_arm_requires_healthy_legs():
+    """A run-8 rep: raw 0.925 (under the cap) but off a soc-0.521
+    baseline leg — inflated by the same mechanism, so the raw arm's
+    per-leg soc >= 0.7 floor must reject it; the clean run-5 rep
+    (socs 0.82/0.84) passes."""
+    r8 = _rep(1630.4, 6030.4, 5.533, 8.126, 3129.2, 8777.5)
+    assert 0.8 <= r8["eff_raw"] <= 1.05
+    assert r8["runs"][4]["spark_over_control"] < 0.7
+    assert not rep_meets_criterion(r8)
+    assert rep_meets_criterion(CLEAN_REP)
+
+
 def test_compact_result_line_fits_capture_window():
     """The driver tail-captures ~2 KB; the printed result line must stay
     under 1.5 KB with a full queries map and extraction block."""
