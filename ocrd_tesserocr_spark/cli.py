@@ -228,9 +228,16 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 # extraction parameters have no meaning for the stateful
                 # operators: fail fast instead of silently ignoring them
+                # (--preset included — `--mode dedup --preset glyph` would
+                # otherwise run as if the preset had been honored)
                 if args.param or args.rules:
                     raise SystemExit(
                         f"--param/--rules only apply to --mode extract, "
+                        f"not {args.mode!r}"
+                    )
+                if args.preset != "recognize":
+                    raise SystemExit(
+                        f"--preset only applies to --mode extract, "
                         f"not {args.mode!r}"
                     )
                 if args.mode == "dedup":

@@ -58,7 +58,7 @@ def sql_md5_mod(expr: str, p: int = HASH_P) -> str:
 #: active hash implementation: 'md5' (default; DuckDB-parity) or
 #: 'xxhash64' (production intrinsic, no oracle twin).  Read at PLAN BUILD
 #: time by the dispatchers below.
-HASH_IMPL = os.environ.get("SPARK_GRAFT_HASH", "md5")
+HASH_IMPL = "md5"
 
 
 def set_hash_impl(impl: str) -> None:
@@ -67,6 +67,14 @@ def set_hash_impl(impl: str) -> None:
     if impl not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash impl {impl!r} (md5|xxhash64)")
     HASH_IMPL = impl
+
+
+# the env default routes through the same validator as the session
+# toggle: a typo ('xxHash64', 'xx64', ...) must fail loudly at import,
+# not silently fall back to md5 while the operator believes the
+# production hash path is active
+if os.environ.get("SPARK_GRAFT_HASH"):
+    set_hash_impl(os.environ["SPARK_GRAFT_HASH"])
 
 
 def hash_long(col: Column) -> Column:

@@ -304,6 +304,14 @@ def _kmeans_centroids(emb: DataFrame) -> DataFrame:
                 "centroid_id", F.posexplode("embedding").alias("pos", "x")
             )
             .groupBy("centroid_id", "pos")
+            # 6-dp rounding per Lloyd step keeps the Spark fit and the
+            # DuckDB-SQL twin on the same trajectory.  Residual risk,
+            # accepted: Spark F.round is HALF_UP over the double's repr
+            # while DuckDB rounds the binary double, and AVG summation
+            # order differs between engines — a mean landing EXACTLY on a
+            # 5e-7 boundary could flip one component and diverge the fit.
+            # The driver's hash-parity gate is the backstop; it has never
+            # tripped here, and the corpus means sit far from boundaries.
             .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
             .groupBy("centroid_id")
             .agg(

@@ -3,6 +3,8 @@ sanity, multimodal plumbing, CLI, sources."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -346,6 +348,35 @@ def test_cli_stream_rejects_extract_params_for_stateful_modes(tmp_path):
         main(["stream", "--mode", "dedup", "--param", "model=x",
               "--input", str(tmp_path), "--output", str(tmp_path / "o"),
               "--checkpoint", str(tmp_path / "c")])
+    # --preset gets the same treatment: `--mode dedup --preset glyph`
+    # running without complaint would imply the preset was honored
+    with pytest.raises(SystemExit):
+        main(["stream", "--mode", "dedup", "--preset", "glyph",
+              "--input", str(tmp_path), "--output", str(tmp_path / "o"),
+              "--checkpoint", str(tmp_path / "c")])
+
+
+def test_hash_env_typo_fails_at_import():
+    """SPARK_GRAFT_HASH routes through set_hash_impl's validator at
+    import: a typo ('xxHash64') must raise, not silently run md5 while
+    the operator believes the production hash is active."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c", "import ocrd_tesserocr_spark.functions"],
+        env={**os.environ, "SPARK_GRAFT_HASH": "xxHash64"},
+        capture_output=True, text=True,
+    )
+    assert proc.returncode != 0 and "xxHash64" in proc.stderr
+    ok = subprocess.run(
+        [sys.executable, "-c",
+         "from ocrd_tesserocr_spark import functions as fn; "
+         "assert fn.HASH_IMPL == 'xxhash64'"],
+        env={**os.environ, "SPARK_GRAFT_HASH": "xxhash64"},
+        capture_output=True, text=True,
+    )
+    assert ok.returncode == 0, ok.stderr
 
 
 def test_cli_param_and_rules_files(tmp_path, pages_small, spark):
