@@ -50,6 +50,21 @@ DOC_REPEAT = int(os.environ.get("BENCH_DOC_REPEAT", "8"))
 #: while the best rep's worst-leg spark_over_control stays below the
 #: health threshold (degraded hypervisor window), budget permitting
 PAIR_REPS = int(os.environ.get("BENCH_PAIR_REPS", "4"))
+#: pre-flight calm-window gate (VERDICT r4 item 1): before each primary
+#: 4->16 pair, a ~10 s no-Spark probe (arithmetic calibration + kernel
+#: control burst at 4 and 16 procs) must show both 4->16 ratios at or
+#: above these floors, else sleep and re-probe (bounded by tries and by
+#: the remaining budget).  Probing costs seconds; a rep measured in a
+#: degraded hypervisor window costs minutes and is unusable evidence —
+#: the r4 driver run burned all four reps in a ctrl-ratio-1.24 window.
+PROBE_CALIB_MIN = float(os.environ.get("BENCH_PROBE_CALIB_MIN", "3.0"))
+PROBE_CTRL_MIN = float(os.environ.get("BENCH_PROBE_CTRL_MIN", "3.0"))
+PROBE_SLEEP = float(os.environ.get("BENCH_PROBE_SLEEP_SEC", "150"))
+PROBE_TRIES = int(os.environ.get("BENCH_PROBE_TRIES", "3"))
+#: queries re-timed under the production hash (VERDICT r4 item 6) — the
+#: dispatched call sites are the dedup/fingerprint family; md5 stays the
+#: headline number because it is the oracle-parity path
+XXHASH_QUERIES = ["minhash_signature", "lsh_pairs", "simhash", "fingerprint"]
 
 
 def _cache_dir(replication: int) -> str:
@@ -225,6 +240,62 @@ def rep_view(r: dict) -> dict:
     }
 
 
+def load_best_file(repo_root: str) -> dict:
+    """Per-query calm-best references (VERDICT r4 item 4): a checked-in
+    JSON updated only on improvement, so the artifact can self-compare
+    without consulting BASELINE.md prose.  Keyed by str(sf) so local
+    iteration at sf0.01 can't cross-poison the driver's sf0.1 entries."""
+    try:
+        with open(os.path.join(repo_root, "bench_best.json")) as f:
+            best = json.load(f)
+        return best if isinstance(best, dict) else {}
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
+def query_health(timings: dict, best: dict) -> dict:
+    """green = within 2x the recorded calm best (the VERDICT weak-marker
+    threshold); amber = slower than that, i.e. window-suspect or a real
+    regression — the distinction the r3/r4 cycle re-litigated by hand."""
+    amber = sorted(
+        k for k, v in timings.items() if k in best and v > 2.0 * best[k]
+    )
+    n_green = sum(1 for k in timings if k in best and timings[k] <= 2.0 * best[k])
+    return {"amber": amber, "n_green": n_green, "ref": "bench_best.json"}
+
+
+def improved_best(timings: dict, best: dict) -> dict:
+    """The entries of `timings` that beat (or newly establish) their
+    recorded best.  Only improvements are written back: a degraded
+    window can never poison the reference downward."""
+    return {
+        k: v for k, v in timings.items()
+        if v < best.get(k, float("inf"))
+    }
+
+
+def append_evidence_log(repo_root: str, evidence: dict, run_id: str,
+                        keep: int = 40) -> None:
+    """Append-only evidence history (VERDICT r4 item 2): the round-4
+    driver rerun overwrote the builder's four clean-window >=0.8 rep
+    records.  BENCH_evidence.json stays the stable current-run pointer;
+    this sidecar accumulates every run (same-run rewrites replace their
+    own entry via run_id, so the shed-guard's second write can't
+    duplicate)."""
+    log_path = os.path.join(repo_root, "BENCH_evidence_log.json")
+    try:
+        with open(log_path) as f:
+            log = json.load(f)
+        if not isinstance(log, list):
+            log = [log]
+    except (FileNotFoundError, json.JSONDecodeError):
+        log = []
+    log = [e for e in log if e.get("run_id") != run_id]
+    log.append({"run_id": run_id, **evidence})
+    with open(log_path, "w") as f:
+        json.dump(log[-keep:], f, indent=2)
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
 
@@ -237,15 +308,30 @@ def main() -> None:
     pages_path = prepare_pages(spark)
     pair_path = prepare_pages(spark, REPLICATION_PAIR)
 
-    qs = entry_mod.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        df = fn(spark, SF_DIR)
+    def _timed_noop(df) -> float:
         df.write.format("noop").mode("overwrite").save()  # warm (plan + workers)
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        return round(time.time() - t0, 3)
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = _timed_noop(qs[name](spark, SF_DIR))
+
+    # production-hash arm (VERDICT r4 item 6): the same dedup-family
+    # queries re-planned under xxhash64 (one JVM intrinsic instead of
+    # md5+hex+conv) — records the production-path number each round
+    # alongside the md5 oracle-parity headline
+    from ocrd_tesserocr_spark import functions as fn_mod
+
+    xxhash: dict[str, float] = {}
+    try:
+        fn_mod.set_hash_impl("xxhash64")
+        for name in XXHASH_QUERIES:
+            xxhash[name] = _timed_noop(qs[name](spark, SF_DIR))
+    finally:
+        fn_mod.set_hash_impl("md5")
     spark.stop()
 
     # scaling protocol: identical job + input, N and 4N parallelism.
@@ -316,6 +402,7 @@ def main() -> None:
     # shows spark_over_control < 0.7, i.e. the window was degraded
     # (item 1a), budget permitting.
     reps_4_16 = []
+    probes: list[dict] = []
     t_scaling = time.time()
     budget = int(os.environ.get("BENCH_BUDGET_SEC", "1600"))
     #: window-health floor for settling a measurement (worst-leg
@@ -326,10 +413,50 @@ def main() -> None:
     def left() -> float:
         return budget - (time.time() - t_scaling)
 
+    def run_probe() -> dict:
+        """One ~10 s calm-window probe in a clean subprocess (same
+        normalizers the legs carry, no Spark); records into `probes`."""
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "ocrd_tesserocr_spark.bench_scaling",
+                 "probe", pair_path],
+                capture_output=True, text=True, timeout=120,
+            )
+            for line in (proc.stdout or "").splitlines():
+                if line.startswith("{"):
+                    p = json.loads(line)
+                    p["t_offset_sec"] = round(time.time() - t_scaling, 1)
+                    probes.append(p)
+                    return p
+        except (subprocess.TimeoutExpired, json.JSONDecodeError):
+            pass
+        p = {"probe": True, "calm": False, "error": "probe failed",
+             "t_offset_sec": round(time.time() - t_scaling, 1)}
+        probes.append(p)
+        return p
+
+    def wait_calm(need_sec: float) -> bool:
+        """Gate a primary rep on a calm window: probe, and while degraded
+        sleep PROBE_SLEEP and re-probe, up to PROBE_TRIES probes — but
+        never sleep past the point where the rep itself (need_sec) no
+        longer fits the budget.  Returns the last probe's calm flag; a
+        still-degraded window after the tries runs the rep anyway (the
+        rep_sanity screen keeps garbage from being SELECTED — this gate
+        exists to spend budget in good windows, not to refuse to
+        measure)."""
+        for i in range(PROBE_TRIES):
+            if run_probe().get("calm"):
+                return True
+            if left() < PROBE_SLEEP + need_sec + 60 or i == PROBE_TRIES - 1:
+                break
+            time.sleep(PROBE_SLEEP)
+        return False
+
     # pair timeouts are budget-aware so a degraded window cannot push the
     # whole bench past the driver's ceiling: the primary pair may use up
     # to ~80% of the budget, and the mandatory secondary pair gets
     # whatever remains (min 300 s in run_pair)
+    wait_calm(need_sec=0.3 * budget)
     t_rep = time.time()
     runs = run_pair("4,16", timeout_sec=0.5 * budget, path=pair_path)
     rep_est = time.time() - t_rep
@@ -369,6 +496,9 @@ def main() -> None:
             break
         if rep_est and rep_est > left():
             break
+        wait_calm(need_sec=rep_est or 0.3 * budget)
+        if rep_est and rep_est > left():
+            break
         t_rep = time.time()
         runs = run_pair("4,16", timeout_sec=left(), path=pair_path)
         rep_est = time.time() - t_rep
@@ -385,12 +515,16 @@ def main() -> None:
         if sec_quality(retry) > sec_quality(runs_8_32):
             runs_8_32 = retry
 
+    run_id = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()) + f"-{os.getpid()}"
+
     if not reps_4_16 and not runs_8_32:
         # total failure: still emit ONE compact parseable JSON line; the
         # error detail (stderr tails) goes to the sidecar
         repo_root = os.path.dirname(os.path.abspath(__file__))
+        fail_evidence = {"errors": errors, "probes": probes}
         with open(os.path.join(repo_root, "BENCH_evidence.json"), "w") as f:
-            json.dump({"errors": errors}, f, indent=2)
+            json.dump(fail_evidence, f, indent=2)
+        append_evidence_log(repo_root, fail_evidence, run_id)
         print(json.dumps({
             "metric": "headline operator suite + html extraction (scaling runs FAILED)",
             "value": round(sum(timings.values()), 3),
@@ -454,10 +588,13 @@ def main() -> None:
             "spark_over_control"
         ),
         "runs_by_core": {str(c): v for c, v in by_core.items()},
+        "probes": probes,
+        "xxhash_queries_sec": xxhash,
         "errors": errors,
     }
     with open(os.path.join(repo_root, evidence_name), "w") as f:
         json.dump(evidence, f, indent=2)
+    append_evidence_log(repo_root, evidence, run_id)
 
     extraction = {
         # the primary pair runs on the smaller slice (short legs -> one
@@ -501,12 +638,27 @@ def main() -> None:
         "evidence": evidence_name,
     }
 
+    # per-query self-comparison against the checked-in calm bests
+    # (VERDICT r4 item 4); the reference file only ever improves, so a
+    # degraded window can flag amber but never poison the baseline
+    best_file = load_best_file(repo_root)
+    best_ref = best_file.get(str(sf), {})
+    qbest = query_health(timings, best_ref)
+    improved = improved_best(timings, best_ref)
+    if improved:
+        best_ref.update(improved)
+        best_file[str(sf)] = best_ref
+        with open(os.path.join(repo_root, "bench_best.json"), "w") as f:
+            json.dump(best_file, f, indent=2, sort_keys=True)
+
     result = {
         "metric": "headline operator suite + html extraction (docs/sec; scaling eff 4->16 primary, 8->32 secondary)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "qbest": qbest,
+        "xxhash": xxhash,
         "extraction": extraction,
     }
     line = json.dumps(result)
@@ -516,11 +668,14 @@ def main() -> None:
         evidence["queries_full"] = timings
         with open(os.path.join(repo_root, evidence_name), "w") as f:
             json.dump(evidence, f, indent=2)
+        append_evidence_log(repo_root, evidence, run_id)
         result["queries"] = {
             k: timings[k]
             for k in ("q1_pricing_summary", "extraction_local32")
             if k in timings
         }
+        result["qbest"] = {"amber": qbest["amber"][:6],
+                           "n_green": qbest["n_green"]}
         line = json.dumps(result)
     print(line)
 

@@ -8,6 +8,7 @@ even when absolute throughput drifts (BASELINE.md evidence protocol).  On a
 real cluster the same code runs once per executor count via spark-submit.
 
 Usage: python -m ocrd_tesserocr_spark.bench_scaling <cores>[,<cores>...] <pages_path>
+       python -m ocrd_tesserocr_spark.bench_scaling probe <pages_path>
 """
 
 from __future__ import annotations
@@ -42,7 +43,7 @@ def calibrate(cores: int) -> float:
 CONTROL_DOCS = 60_000
 
 
-def kernel_control(cores: int, pages_path: str) -> float:
+def kernel_control(cores: int, pages_path: str, n_docs: int = CONTROL_DOCS) -> float:
     """No-framework control: the identical extraction kernel over a fixed
     corpus slice under plain multiprocessing, adjacent in time to the Spark
     run.  spark_docs_per_sec / control_docs_per_sec is the engine-overhead
@@ -58,7 +59,7 @@ def kernel_control(cores: int, pages_path: str) -> float:
 
     htmls = (
         pq.read_table(pages_path, columns=["html"])
-        .slice(0, CONTROL_DOCS)
+        .slice(0, n_docs)
         .column("html")
         .to_pylist()
     )
@@ -78,6 +79,44 @@ def _control_chunk(htmls) -> int:
         extract_document(h, EXTRACT)
         n += 1
     return n
+
+
+#: corpus slice for the pre-flight control burst: big enough that pool
+#: startup doesn't dominate the 16-proc reading (~1.5 s wall per leg at
+#: round-4 kernel speed), small enough that a full probe stays ~10-15 s
+PROBE_DOCS = 8_000
+
+
+def probe_window(pages_path: str, calib_min: float = 3.0,
+                 ctrl_min: float = 3.0) -> dict:
+    """Pre-flight calm-window probe (VERDICT r4 item 1): ~10-15 s of the
+    same normalizers the legs carry — arithmetic calibration at 4 and 16
+    procs plus a short same-kernel control burst at each — WITHOUT any
+    Spark.  The caller only starts a (slow, budget-eating) 4->16 pair
+    when both 4->16 ratios clear their floors; the round-4 driver run
+    burned four full reps in a window where the control scaled 1.24x,
+    which this probe would have flagged in seconds."""
+    calib_4 = calibrate(4)
+    ctrl_4 = kernel_control(4, pages_path, PROBE_DOCS)
+    calib_16 = calibrate(16)
+    # the 16-proc burst gets 3x the docs so its wall stays ~constant
+    # (docs/sec normalizes the size difference out of the ratio)
+    ctrl_16 = kernel_control(16, pages_path, 3 * PROBE_DOCS)
+    calib_ratio = round(calib_16 / calib_4, 3) if calib_4 else None
+    ctrl_ratio = round(ctrl_16 / ctrl_4, 3) if ctrl_4 else None
+    return {
+        "probe": True,
+        "calib_4": calib_4,
+        "calib_16": calib_16,
+        "calib_ratio": calib_ratio,
+        "ctrl_4": ctrl_4,
+        "ctrl_16": ctrl_16,
+        "ctrl_ratio": ctrl_ratio,
+        "calm": bool(
+            calib_ratio is not None and calib_ratio >= calib_min
+            and ctrl_ratio is not None and ctrl_ratio >= ctrl_min
+        ),
+    }
 
 
 def _timed_chunk_sec() -> float:
@@ -162,6 +201,9 @@ def run_level(cores: int, pages_path: str) -> dict:
 
 
 def main() -> None:
+    if sys.argv[1] == "probe":
+        print(json.dumps(probe_window(sys.argv[2])), flush=True)
+        return
     levels = [int(c) for c in sys.argv[1].split(",")]
     pages_path = sys.argv[2]
     for cores in levels:

@@ -173,6 +173,58 @@ def test_compact_result_line_fits_capture_window():
         "metric": ("headline operator suite + html extraction (docs/sec; "
                    "scaling eff 4->16 primary, 8->32 secondary)"),
         "value": 123.456, "unit": "sec", "queries": timings, "sf": 0.1,
+        "qbest": {"amber": ["reading_order", "resume_antijoin"],
+                  "n_green": 16, "ref": "bench_best.json"},
+        "xxhash": {"minhash_signature": 0.712, "lsh_pairs": 1.234,
+                   "simhash": 0.298, "fingerprint": 0.401},
         "extraction": extraction,
     })
     assert len(line) < 1500, len(line)
+
+
+def test_query_health_flags_only_over_2x_best():
+    from bench import improved_best, query_health
+
+    best = {"a": 0.5, "b": 1.0}
+    timings = {"a": 0.4, "b": 2.3, "c": 9.9}  # c has no reference yet
+    h = query_health(timings, best)
+    assert h["amber"] == ["b"] and h["n_green"] == 1
+    # only improvements flow back — the degraded 'b' cannot poison it,
+    # and the new 'c' gets established
+    imp = improved_best(timings, best)
+    assert imp == {"a": 0.4, "c": 9.9}
+
+
+def test_evidence_log_appends_and_replaces_same_run(tmp_path):
+    """VERDICT r4 item 2: two consecutive runs leave BOTH rep records on
+    disk; a same-run rewrite (shed-guard) replaces its own entry."""
+    import json as j
+
+    from bench import append_evidence_log
+
+    root = str(tmp_path)
+    append_evidence_log(root, {"pair_reps_4_16": [1]}, "runA")
+    append_evidence_log(root, {"pair_reps_4_16": [2]}, "runB")
+    log = j.load(open(tmp_path / "BENCH_evidence_log.json"))
+    assert [e["run_id"] for e in log] == ["runA", "runB"]
+    append_evidence_log(root, {"pair_reps_4_16": [2, 3]}, "runB")
+    log = j.load(open(tmp_path / "BENCH_evidence_log.json"))
+    assert [e["run_id"] for e in log] == ["runA", "runB"]
+    assert log[1]["pair_reps_4_16"] == [2, 3]
+
+
+def test_evidence_log_survives_corrupt_or_legacy_file(tmp_path):
+    import json as j
+
+    from bench import append_evidence_log
+
+    (tmp_path / "BENCH_evidence_log.json").write_text("{not json")
+    append_evidence_log(str(tmp_path), {"x": 1}, "r1")
+    log = j.load(open(tmp_path / "BENCH_evidence_log.json"))
+    assert len(log) == 1 and log[0]["run_id"] == "r1"
+    # legacy single-dict file gets wrapped, not destroyed
+    (tmp_path / "BENCH_evidence_log.json").write_text(
+        j.dumps({"run_id": "old", "x": 0}))
+    append_evidence_log(str(tmp_path), {"x": 1}, "r2")
+    log = j.load(open(tmp_path / "BENCH_evidence_log.json"))
+    assert [e["run_id"] for e in log] == ["old", "r2"]
