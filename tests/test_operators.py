@@ -176,6 +176,35 @@ def test_audio_stub_raises():
         decode_audio_stub(b"RIFF1234")
 
 
+def test_image_decode_probes_pillow_not_assumes():
+    """The container limitation is probed at import: HAVE_PILLOW reflects
+    actual importability, decode_image_real works or raises accordingly,
+    and production_decoders() degrades to the stub — while the
+    oracle-parity MEDIA_DECODERS default stays the stub either way."""
+    import importlib.util
+
+    from ocrd_tesserocr_spark.operators import multimodal as mm
+
+    assert mm.HAVE_PILLOW == (importlib.util.find_spec("PIL") is not None)
+    prod = mm.production_decoders()
+    assert prod["text/html"] is mm.decode_image_stub
+    if mm.HAVE_PILLOW:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (64, 64), (1, 2, 3)).save(buf, format="PNG")
+        out = mm.decode_image_real(buf.getvalue())
+        assert len(out) == 32 * 32 * 3
+        assert prod["image/png"] is mm.decode_image_real
+    else:
+        with pytest.raises(ImportError):
+            mm.decode_image_real(b"\x89PNG\r\n\x1a\n")
+        assert prod["image/png"] is mm.decode_image_stub
+    assert mm.MEDIA_DECODERS["image/png"] is mm.decode_image_stub
+
+
 def test_frame_sample_fanout(spark, pages_small):
     """Frame sampling is a 1->N batch-side fan-out: decodable payloads
     emit exactly N_SAMPLE_FRAMES deterministic rows with monotone
