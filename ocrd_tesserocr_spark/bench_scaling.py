@@ -88,7 +88,7 @@ PROBE_DOCS = 8_000
 
 
 def probe_window(pages_path: str, calib_min: float = 3.0,
-                 ctrl_min: float = 3.0) -> dict:
+                 ctrl_min: float = 3.0, ratio_max: float = 4.2) -> dict:
     """Pre-flight calm-window probe (VERDICT r4 item 1): ~10-15 s of the
     same normalizers the legs carry — arithmetic calibration at 4 and 16
     procs plus a short same-kernel control burst at each — WITHOUT any
@@ -112,9 +112,14 @@ def probe_window(pages_path: str, calib_min: float = 3.0,
         "ctrl_4": ctrl_4,
         "ctrl_16": ctrl_16,
         "ctrl_ratio": ctrl_ratio,
+        # both ratios must sit in [min, ratio_max]: the floor rejects a
+        # window refusing to grant cores; the ceiling rejects a window
+        # whose 4-proc reading was itself degraded (observed probe with
+        # calib_ratio 4.43 — superlinear pure-CPU scaling is impossible,
+        # so >4.2 only ever means an unstable baseline moment)
         "calm": bool(
-            calib_ratio is not None and calib_ratio >= calib_min
-            and ctrl_ratio is not None and ctrl_ratio >= ctrl_min
+            calib_ratio is not None and calib_min <= calib_ratio <= ratio_max
+            and ctrl_ratio is not None and ctrl_min <= ctrl_ratio <= ratio_max
         ),
     }
 
