@@ -87,6 +87,20 @@ def _control_chunk(htmls) -> int:
 PROBE_DOCS = 8_000
 
 
+def calm_verdict(calib_ratio, ctrl_ratio, calib_min: float = 3.0,
+                 ctrl_min: float = 3.0, ratio_max: float = 4.2) -> bool:
+    """Pure calm decision over the two probe ratios: both must sit in
+    [min, ratio_max].  The floor rejects a window refusing to grant
+    cores; the ceiling rejects a window whose 4-proc baseline reading
+    was itself degraded (observed probe with calib_ratio 4.43 —
+    superlinear pure-CPU scaling is impossible, so >4.2 only ever means
+    an unstable baseline moment)."""
+    return bool(
+        calib_ratio is not None and calib_min <= calib_ratio <= ratio_max
+        and ctrl_ratio is not None and ctrl_min <= ctrl_ratio <= ratio_max
+    )
+
+
 def probe_window(pages_path: str, calib_min: float = 3.0,
                  ctrl_min: float = 3.0, ratio_max: float = 4.2) -> dict:
     """Pre-flight calm-window probe (VERDICT r4 item 1): ~10-15 s of the
@@ -112,15 +126,8 @@ def probe_window(pages_path: str, calib_min: float = 3.0,
         "ctrl_4": ctrl_4,
         "ctrl_16": ctrl_16,
         "ctrl_ratio": ctrl_ratio,
-        # both ratios must sit in [min, ratio_max]: the floor rejects a
-        # window refusing to grant cores; the ceiling rejects a window
-        # whose 4-proc reading was itself degraded (observed probe with
-        # calib_ratio 4.43 — superlinear pure-CPU scaling is impossible,
-        # so >4.2 only ever means an unstable baseline moment)
-        "calm": bool(
-            calib_ratio is not None and calib_min <= calib_ratio <= ratio_max
-            and ctrl_ratio is not None and ctrl_min <= ctrl_ratio <= ratio_max
-        ),
+        "calm": calm_verdict(calib_ratio, ctrl_ratio, calib_min,
+                             ctrl_min, ratio_max),
     }
 
 
