@@ -489,19 +489,22 @@ def main() -> None:
     # precede the pair and poison its window); pair timeouts are
     # budget-aware so a degraded window cannot push the whole bench past
     # the driver's ceiling
+    #: budget slice reserved for the mandatory 8->32 secondary (it also
+    #: supplies the local[32] extraction wall), now that it runs last
+    SECONDARY_RESERVE = 0.25 * budget
     rep_est = 0.0
     for i in range(max(1, PAIR_REPS)):
         if any(_settled(r) for r in reps_4_16):
             break
-        if i > 0 and rep_est and rep_est > left():
+        if i > 0 and rep_est and rep_est > left() - SECONDARY_RESERVE:
             break
         wait_calm(need_sec=rep_est or 0.3 * budget)
-        if i > 0 and rep_est and rep_est > left():
+        if i > 0 and rep_est and rep_est > left() - SECONDARY_RESERVE:
             break
         t_rep = time.time()
         runs = run_pair(
             "4,16",
-            timeout_sec=0.5 * budget if i == 0 else left(),
+            timeout_sec=0.5 * budget if i == 0 else left() - SECONDARY_RESERVE,
             path=pair_path,
         )
         rep_est = time.time() - t_rep
