@@ -312,6 +312,9 @@ _TAG_CAT.update({t: _CAT_STYLE for t in _STYLE_BITS})
 _TAG_CAT.update({t: _CAT_BLOCK for t in _BLOCK_KIND})
 
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+#: does a text run need _WS_RE normalization at all?  any non-space
+#: whitespace char, or a run of 2+ spaces (a single space maps to itself)
+_WS_DIRTY_RE = re.compile(r"[\t\r\n\f\v]|  ")
 _WORD_RE = re.compile(r"\S+")
 _ALNUM_RE = re.compile(r"[0-9A-Za-z\u00c0-\u024f\u0590-\u06ff\u4e00-\u9fff]")
 
@@ -430,7 +433,7 @@ def word_conf(word: str) -> float:
     return round(1.0 - 0.5 * ((len(word) - alnum) / len(word)), 4)
 
 
-@dataclass
+@dataclass(slots=True)
 class _RawBlock:
     kind: str
     rtl: bool = False
@@ -549,17 +552,27 @@ class _BlockParser:
         return self._dir_stack[-1] if self._dir_stack else False
 
     def _open_block(self, kind: str, attrs: dict) -> None:
-        blk = _RawBlock(
-            kind="noise" if self._boiler_depth > 0 else kind,
-            rtl=self._rtl() or attrs.get("dir", "").lower() == "rtl",
-            # textLineOrder bottom-to-top analogue (common.py:131-134)
-            btt=attrs.get("data-line-order", "").lower()
-            in ("btt", "bottom-to-top"),
-            join="data-join" in attrs,
-            boiler=self._boiler_depth > 0,
-        )
-        if attrs.get("dir", "").lower() == "ltr":
-            blk.rtl = False
+        boiler = self._boiler_depth > 0
+        if not attrs:
+            # attribute-free fast path (the overwhelmingly common case:
+            # feed passes () unless dir=/data-* appeared in the raw tag)
+            blk = _RawBlock(
+                kind="noise" if boiler else kind,
+                rtl=self._rtl(),
+                boiler=boiler,
+            )
+        else:
+            blk = _RawBlock(
+                kind="noise" if boiler else kind,
+                rtl=self._rtl() or attrs.get("dir", "").lower() == "rtl",
+                # textLineOrder bottom-to-top analogue (common.py:131-134)
+                btt=attrs.get("data-line-order", "").lower()
+                in ("btt", "bottom-to-top"),
+                join="data-join" in attrs,
+                boiler=boiler,
+            )
+            if attrs.get("dir", "").lower() == "ltr":
+                blk.rtl = False
         self.blocks.append(blk)
         self._stack.append(blk)
 
@@ -689,7 +702,9 @@ class _BlockParser:
         if self._skip_depth:
             return
         top = self._top()
-        if not data.strip():
+        # isspace() == (strip() falsy) for non-empty strings, without
+        # allocating the stripped copy of every TEXT run just to test it
+        if not data or data.isspace():
             # keep a single separator between inline siblings, but never
             # open an implicit block on pure whitespace
             if top is not None and top.parts:
@@ -697,9 +712,11 @@ class _BlockParser:
             return
         if top is None:
             top = self._implicit()
-        top.parts.append(
-            (_WS_RE.sub(" ", data), self._link_depth > 0, self._style_bits)
-        )
+        # normalize whitespace runs only when one exists (single C scan
+        # beats an unconditional re.sub: most parts are already clean)
+        if _WS_DIRTY_RE.search(data) is not None:
+            data = _WS_RE.sub(" ", data)
+        top.parts.append((data, self._link_depth > 0, self._style_bits))
 
 
 # --------------------------------------------------------------------------
