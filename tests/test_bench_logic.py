@@ -248,3 +248,29 @@ def test_probe_calm_verdict_replays_round5_readings():
     # superlinear calib = the 4-proc baseline leg itself was degraded
     assert not calm_verdict(4.434, 3.2)
     assert not calm_verdict(None, 3.2) and not calm_verdict(3.2, None)
+
+
+def test_secondary_pair_retry_and_selection():
+    """The 8->32 secondary's retry trigger and run selection (round-5
+    addition): a degraded worst leg OR an amber local[32] wall (>2x the
+    checked-in calm best) re-runs the pair; selection prefers healthy
+    legs, then the faster wall.  Replays round-5 run 4: healthy socs but
+    a 90.6 s wall against a ~33 s best — the soc screen alone missed it."""
+    from bench import sec_key, sec_needs_retry, sec_quality
+
+    healthy = {8: {"spark_over_control": 0.9},
+               32: {"spark_over_control": 0.85, "wall_sec": 35.0}}
+    run4 = {8: {"spark_over_control": 0.83},
+            32: {"spark_over_control": 0.78, "wall_sec": 90.6}}
+    degraded = {8: {"spark_over_control": 0.4},
+                32: {"spark_over_control": 0.85, "wall_sec": 30.0}}
+
+    assert sec_quality({8: {"spark_over_control": 0.9}}) == -1.0  # missing leg
+    assert not sec_needs_retry(healthy, 33.0)
+    assert sec_needs_retry(run4, 33.0)          # amber wall, healthy socs
+    assert sec_needs_retry(degraded, 33.0)      # soc floor
+    assert not sec_needs_retry(run4, None)      # no best recorded yet
+    # healthy beats amber-but-healthy-slower beats degraded-fast
+    assert sec_key(healthy) > sec_key(run4) > sec_key(degraded)
+    # a retry with a missing leg never displaces a complete run
+    assert sec_key(healthy) > sec_key({8: {"spark_over_control": 0.9}})
