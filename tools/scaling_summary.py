@@ -91,6 +91,51 @@ def _entries_of(doc) -> list[dict]:
     return []
 
 
+def _all_entries():
+    """Every run record reachable: committed snapshots oldest-first,
+    then the working tree."""
+    for when, source, doc in _historical_snapshots():
+        for entry in _entries_of(doc):
+            yield when, source, entry
+    for fname in ("BENCH_evidence_log.json", "BENCH_evidence.json"):
+        path = os.path.join(REPO, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                try:
+                    doc = json.load(f)
+                except json.JSONDecodeError:
+                    continue
+            for entry in _entries_of(doc):
+                yield "worktree", fname, entry
+
+
+def collect_walls() -> list[dict]:
+    """local[32] extraction-wall history (round-5 addition: the wall got
+    its own calm gate + amber retry, so its trajectory is now evidence
+    worth inspecting alongside the pair reps)."""
+    rows: list[dict] = []
+    seen: set[tuple] = set()
+    for when, source, entry in _all_entries():
+        leg = (entry.get("runs_by_core") or {}).get("32") or {}
+        wall = leg.get("wall_sec")
+        if wall is None:
+            continue
+        key = (wall, leg.get("docs_per_sec"))
+        if key in seen:
+            continue
+        seen.add(key)
+        rows.append({
+            "when": when,
+            "run_id": entry.get("run_id", ""),
+            "wall_sec": wall,
+            "docs_per_sec": leg.get("docs_per_sec"),
+            "soc_32": leg.get("spark_over_control"),
+            "mid_over_pre": leg.get("mid_over_pre"),
+        })
+    rows.sort(key=lambda r: (r["when"] != "worktree", r["when"]))
+    return rows
+
+
 def collect() -> list[dict]:
     rows: list[dict] = []
     seen: set[tuple] = set()
@@ -126,21 +171,10 @@ def collect() -> list[dict]:
                 "meets_criterion": bench.rep_meets_criterion(rep),
             })
 
-    for when, source, doc in _historical_snapshots():
-        for entry in _entries_of(doc):
-            add(when, source, entry)
-
-    # working tree last (newest wins the dedupe only if unseen)
-    for fname in ("BENCH_evidence_log.json", "BENCH_evidence.json"):
-        path = os.path.join(REPO, fname)
-        if os.path.exists(path):
-            with open(path) as f:
-                try:
-                    doc = json.load(f)
-                except json.JSONDecodeError:
-                    continue
-            for entry in _entries_of(doc):
-                add("worktree", fname, entry)
+    # committed snapshots oldest-first, working tree last (newest wins
+    # the dedupe only if unseen)
+    for when, source, entry in _all_entries():
+        add(when, source, entry)
 
     rows.sort(key=lambda r: (r["when"] != "worktree", r["when"]))
     return rows
@@ -149,7 +183,8 @@ def collect() -> list[dict]:
 def main() -> None:
     rows = collect()
     if "--json" in sys.argv:
-        print(json.dumps(rows, indent=2))
+        print(json.dumps({"pair_reps": rows, "walls": collect_walls()},
+                         indent=2))
         return
     hdr = (
         f"{'when':<26} {'d/s@4':>8} {'d/s@16':>8} {'raw':>6} "
@@ -173,6 +208,23 @@ def main() -> None:
         f"(raw in [0.8,1.05] w/ socs>=0.7, or sane + socs in [0.8,1.25] "
         f"+ control-normalized >= 0.8)"
     )
+
+    walls = collect_walls()
+    if walls:
+        print(f"\nlocal[32] extraction wall history ({len(walls)} runs):")
+        whdr = (
+            f"{'when':<26} {'wall_s':>7} {'docs/s':>9} {'soc32':>6} "
+            f"{'mid/pre':>7}"
+        )
+        print(whdr)
+        print("-" * len(whdr))
+        for r in walls:
+            print(
+                f"{r['when']:<26} {r['wall_sec']:>7.1f} "
+                f"{(r['docs_per_sec'] or 0):>9.1f} "
+                f"{(r['soc_32'] or 0):>6.2f} "
+                f"{(r['mid_over_pre'] or 0):>7.2f}"
+            )
 
 
 if __name__ == "__main__":
