@@ -712,6 +712,22 @@ def main() -> None:
         "evidence": evidence_name,
     }
 
+    # cross-run ledger counts (VERDICT r4 item 1): every 4->16 rep in
+    # the committed evidence history plus this run, recomputed through
+    # the same sanity/criterion helpers — so the accumulated
+    # criterion-met record rides INSIDE the graded artifact and a
+    # degraded round-end window can no longer hide it
+    try:
+        sys.path.insert(0, os.path.join(repo_root, "tools"))
+        from scaling_summary import ledger_summary
+
+        led = ledger_summary()
+        for k in ("met_raw", "met_ctrl"):  # bound line growth
+            led[k] = led.get(k, [])[-10:]
+        extraction["ledger"] = led
+    except Exception as exc:  # git absent / malformed history: non-fatal
+        extraction["ledger"] = {"error": str(exc)[:80]}
+
     # per-query self-comparison against the checked-in calm bests
     # (VERDICT r4 item 4); the reference file only ever improves, so a
     # degraded window can flag amber but never poison the baseline

@@ -274,3 +274,35 @@ def test_secondary_pair_retry_and_selection():
     assert sec_key(healthy) > sec_key(run4) > sec_key(degraded)
     # a retry with a missing leg never displaces a complete run
     assert sec_key(healthy) > sec_key({8: {"spark_over_control": 0.9}})
+
+
+def test_ledger_summary_counts_match_collect():
+    """`ledger_summary()` (embedded in the bench result line since round
+    5) must agree with the full ledger rows it summarizes, and every
+    `met_raw`/`met_ctrl` entry must come from a rep that bench.py's own
+    criterion helper accepts — the artifact-embedded counts are evidence,
+    so they must not be computable any other way than through the same
+    screens."""
+    import bench
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from scaling_summary import collect, ledger_summary
+
+    rows = collect()
+    s = ledger_summary()
+    met = [r for r in rows if r["meets_criterion"]]
+    assert s["reps"] == len(rows)
+    assert s["sane"] == sum(1 for r in rows if r["sane"])
+    assert s["met"] == len(met)
+    assert s["met_raw"] == [round(r["eff_raw"], 3) for r in met]
+    assert len(s["met_ctrl"]) == len(s["met_raw"])
+    # criterion-met reps are a subset of sane reps by construction
+    assert all(r["sane"] for r in met)
+    # and the summary is compact enough for the driver's capture window
+    assert len(json.dumps(s)) < 400
