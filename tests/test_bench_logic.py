@@ -306,3 +306,24 @@ def test_ledger_summary_counts_match_collect():
     assert all(r["sane"] for r in met)
     # and the summary is compact enough for the driver's capture window
     assert len(json.dumps(s)) < 400
+
+
+def test_amber_retry_list_bounds():
+    """The end-of-run amber retry must be bounded: real queries only,
+    never the extraction wall, only small calm bests, capped at 8."""
+    from bench import amber_retry_list
+
+    best = {"a": 0.5, "b": 1.0, "slow": 30.0, "extraction_local32": 18.8,
+            "nobest": 0}
+    known = {"a", "b", "slow", "nobest", "extraction_local32"}
+    qb = {"amber": ["a", "b", "slow", "nobest", "extraction_local32",
+                    "ghost"]}
+    # eligible: small-best known queries; wall, minutes-best, zero-best,
+    # and unknown names all excluded
+    assert amber_retry_list(qb, best, known) == ["a", "b"]
+    # cap at 8
+    many = {f"q{i}": 0.1 for i in range(12)}
+    qb12 = {"amber": sorted(many)}
+    assert len(amber_retry_list(qb12, many, set(many))) == 8
+    # empty amber -> no retry session at all
+    assert amber_retry_list({"amber": []}, best, known) == []

@@ -132,7 +132,7 @@ def collect_walls() -> list[dict]:
             "soc_32": leg.get("spark_over_control"),
             "mid_over_pre": leg.get("mid_over_pre"),
         })
-    rows.sort(key=lambda r: (r["when"] != "worktree", r["when"]))
+    rows.sort(key=lambda r: (r["when"] == "worktree", r["when"]))
     return rows
 
 
@@ -176,7 +176,7 @@ def collect() -> list[dict]:
     for when, source, entry in _all_entries():
         add(when, source, entry)
 
-    rows.sort(key=lambda r: (r["when"] != "worktree", r["when"]))
+    rows.sort(key=lambda r: (r["when"] == "worktree", r["when"]))
     return rows
 
 
