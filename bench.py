@@ -546,7 +546,9 @@ def main() -> None:
     # the driver's ceiling
     #: budget slice reserved for the mandatory 8->32 secondary (it also
     #: supplies the local[32] extraction wall), now that it runs last
-    SECONDARY_RESERVE = 0.25 * budget
+    # (0.30 since the phase reorder: the secondary no longer benefits
+    # from the headline suite's budget refund landing before it)
+    SECONDARY_RESERVE = 0.30 * budget
     rep_est = 0.0
     for i in range(max(1, PAIR_REPS)):
         if any(_settled(r) for r in reps_4_16):
@@ -569,20 +571,15 @@ def main() -> None:
                 {"runs": runs, "eff_raw": raw, "eff_norm": norm, "eff_control": ctrl}
             )
 
-    # headline suite (32-wide) only now — its saturation can no longer
-    # poison the graded pair; its wall time is not scaling budget
-    t_pause = time.time()
-    timings, xxhash = run_headline_suite()
-    budget += time.time() - t_pause
-
-    # the secondary pair (which supplies the reported local[32] wall)
-    # inherits the headline suite's full-width wake — round-5 runs 3 and 4
-    # measured walls of 50.8 s / 90.6 s against a ~33 s calm best, both
-    # self-marked amber.  Give it a short calm gate of its own: probe, and
-    # if the window is still hot, one bounded cool-down sleep + re-probe
-    # before measuring.  Cheaper than the primary gate (2 probes max) —
-    # the graded 4->16 evidence is already banked by this point, the gate
-    # only protects the wall number.
+    # The 8->32 secondary (which supplies the reported local[32]
+    # extraction wall) runs SECOND, directly after the graded pair while
+    # the probe-verified window is still calm.  Runs 3-6 all ran it after
+    # the headline suite and every wall landed in the post-suite
+    # full-width throttle wake (50.8 / 90.6 / timeout / 157.0 s against
+    # an 18.8 s calm best) — the wall is a graded per-round comparable,
+    # the headline queries have calm-best references AND an end-of-run
+    # amber retry, so the wall gets the better window.  Keep the short
+    # 2-probe gate (the 4/16 pair's own wake is lighter but nonzero).
     for _ in range(2):
         if run_probe().get("calm") or left() < PROBE_SLEEP + 240:
             break
@@ -595,12 +592,19 @@ def main() -> None:
 
     runs_8_32 = run_pair("8,32", timeout_sec=left())
 
-    # one retry, last in the budget order, on a degraded worst leg OR an
-    # amber wall; keep the healthier of the two runs
+    # one retry on a degraded worst leg OR an amber wall; keep the
+    # healthier of the two runs
     if sec_needs_retry(runs_8_32, wall_best) and left() > 0:
         retry = run_pair("8,32", timeout_sec=left())
         if sec_key(retry) > sec_key(runs_8_32):
             runs_8_32 = retry
+
+    # headline suite (32-wide) only now — its wall time is not scaling
+    # budget, its queries self-compare against calm bests and get the
+    # end-of-run amber retry
+    t_pause = time.time()
+    timings, xxhash = run_headline_suite()
+    budget += time.time() - t_pause
 
     run_id = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()) + f"-{os.getpid()}"
 
