@@ -758,7 +758,15 @@ def main() -> None:
     # degraded window can flag amber but never poison the baseline
     best_file = load_best_file(repo_root)
     best_ref = best_file.get(str(sf), {})
-    qbest = query_health(timings, best_ref)
+
+    # the xxhash production-hash arm self-compares and retries under
+    # `xx_`-namespaced best keys (run 8 measured xxhash minhash at
+    # 30.3 s in a degraded patch while the md5 arm, minutes earlier,
+    # got 0.9 s — the arm needed the same self-correction)
+    def _merged() -> dict:
+        return {**timings, **{f"xx_{k}": v for k, v in xxhash.items()}}
+
+    qbest = query_health(_merged(), best_ref)
 
     # Amber-query retry (round 5): headline queries that landed > 2x
     # their recorded calm best get ONE bounded re-measure at the very
@@ -772,29 +780,43 @@ def main() -> None:
     # small calm best are eligible (a retry can never run unbounded).
     amber_retries: dict[str, dict] = {}
     qs = entry_mod.queries()
-    retry_list = amber_retry_list(qbest, best_ref, set(qs))
+    known = set(qs) | {f"xx_{k}" for k in XXHASH_QUERIES if k in qs}
+    retry_list = amber_retry_list(qbest, best_ref, known)
     if retry_list:
+        from ocrd_tesserocr_spark import functions as fn_mod
+
         t_retry = time.time()
         spark = get_spark(
             f"local[{CPUS}]", shuffle_partitions=CPUS,
             app_name="bench-amber-retry",
         )
         spark.sparkContext.setLogLevel("ERROR")
+        merged0 = _merged()
         for name in retry_list:
             if time.time() - t_retry > 150:
                 break
-            second = _timed_noop(qs[name](spark, SF_DIR))
-            amber_retries[name] = {"first": timings[name], "retry": second}
-            timings[name] = min(timings[name], second)
+            base = name[3:] if name.startswith("xx_") else name
+            if name.startswith("xx_"):
+                fn_mod.set_hash_impl("xxhash64")
+            try:
+                second = _timed_noop(qs[base](spark, SF_DIR))
+            finally:
+                if name.startswith("xx_"):
+                    fn_mod.set_hash_impl("md5")
+            amber_retries[name] = {"first": merged0[name], "retry": second}
+            if name.startswith("xx_"):
+                xxhash[base] = min(xxhash[base], second)
+            else:
+                timings[name] = min(timings[name], second)
         spark.stop()
-        qbest = query_health(timings, best_ref)
+        qbest = query_health(_merged(), best_ref)
         if amber_retries:
             evidence["amber_retries"] = amber_retries
             with open(os.path.join(repo_root, evidence_name), "w") as f:
                 json.dump(evidence, f, indent=2)
             append_evidence_log(repo_root, evidence, run_id)
 
-    improved = improved_best(timings, best_ref)
+    improved = improved_best(_merged(), best_ref)
     if improved:
         best_ref.update(improved)
         best_file[str(sf)] = best_ref

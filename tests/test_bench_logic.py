@@ -327,3 +327,9 @@ def test_amber_retry_list_bounds():
     assert len(amber_retry_list(qb12, many, set(many))) == 8
     # empty amber -> no retry session at all
     assert amber_retry_list({"amber": []}, best, known) == []
+    # xx_-namespaced production-hash arm names are eligible when the
+    # caller includes them in `known` (run-8 lesson: the arm needed the
+    # same self-correction)
+    assert amber_retry_list(
+        {"amber": ["xx_minhash"]}, {"xx_minhash": 0.45}, {"xx_minhash"}
+    ) == ["xx_minhash"]
