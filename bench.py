@@ -748,7 +748,7 @@ def main() -> None:
         append_evidence_log(repo_root, evidence, run_id)
         extraction["ledger"] = {
             "reps": led["reps"], "sane": led["sane"], "met": led["met"],
-            "met_raw": led.get("met_raw", [])[-8:],
+            "met_raw": led.get("met_raw", [])[-6:],
         }
     except Exception as exc:  # git absent / malformed history: non-fatal
         extraction["ledger"] = {"error": str(exc)[:80]}
@@ -829,7 +829,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "qbest": qbest,
+        # compact on the line (full amber list derivable from
+        # queries_full + bench_best; run 12's six ambers pushed the
+        # full form over the 1.5 KB guard and shed the query detail)
+        "qbest": {"amber": qbest["amber"][:6],
+                  "n_amber": len(qbest["amber"]),
+                  "n_green": qbest["n_green"]},
         "xxhash": xxhash,
         "extraction": extraction,
     }

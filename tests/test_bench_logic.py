@@ -168,13 +168,17 @@ def test_compact_result_line_fits_capture_window():
         "sel": {"soc": [0.884, 1.124], "mid_over_pre": [0.918, 1.01],
                 "calib_ratio": 2.901, "control_ratio": 3.2, "sane": True},
         "n_reps": 4, "n_errors": 2, "evidence": "BENCH_evidence.json",
+        "ledger": {"reps": 51, "sane": 31, "met": 11,
+                   "met_raw": [0.882, 0.847, 0.891, 0.928, 0.84, 0.741]},
     }
     line = json.dumps({
         "metric": ("headline operator suite + html extraction (docs/sec; "
                    "scaling eff 4->16 primary, 8->32 secondary)"),
         "value": 123.456, "unit": "sec", "queries": timings, "sf": 0.1,
-        "qbest": {"amber": ["reading_order", "resume_antijoin"],
-                  "n_green": 16, "ref": "bench_best.json"},
+        "qbest": {"amber": ["ann_bucketed", "extraction_local32",
+                            "lsh_pairs", "near_dedup_verified",
+                            "ngram_jaccard_stats", "q1_pricing_summary"],
+                  "n_amber": 7, "n_green": 12},
         "xxhash": {"minhash_signature": 0.712, "lsh_pairs": 1.234,
                    "simhash": 0.298, "fingerprint": 0.401},
         "extraction": extraction,
