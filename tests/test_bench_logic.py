@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import pair_quality, rep_meets_criterion, rep_sanity
+from bench import pair_quality, rep_meets_criterion, rep_sanity, selection_key
 
 
 def _rep(dps4, dps16, calib4, calib16, ctrl4, ctrl16):
@@ -72,17 +72,11 @@ def test_selector_prefers_sane_over_higher_soc():
     clean rep beats every insane r3 rep, and among insane reps the one
     meeting the raw criterion (rep 1) beats the one that r3 shipped."""
     reps = [R3_REP_1, R3_REP_2, R3_REP_3, CLEAN_REP]
-    best = max(
-        reps,
-        key=lambda r: (rep_sanity(r)["sane"], rep_meets_criterion(r), pair_quality(r)),
-    )
+    best = max(reps, key=selection_key)
     assert best is CLEAN_REP
     # without the clean rep: criterion (raw 0.829) outranks window score,
     # so the degenerate-normalizer rep 3 can no longer be selected
-    best_r3 = max(
-        reps[:3],
-        key=lambda r: (rep_sanity(r)["sane"], rep_meets_criterion(r), pair_quality(r)),
-    )
+    best_r3 = max(reps[:3], key=selection_key)
     assert best_r3 is R3_REP_1
 
 
@@ -116,10 +110,7 @@ def test_inflated_control_cannot_satisfy_normalized_arm():
     assert R4_REP_C["eff_control"] > 1.5  # visibly inflated
     assert not rep_meets_criterion(R4_REP_C)
     # selection: D (criterion met) outranks C despite C's higher soc_16
-    best = max(
-        [R4_REP_C, R4_REP_D],
-        key=lambda r: (rep_sanity(r)["sane"], rep_meets_criterion(r), pair_quality(r)),
-    )
+    best = max([R4_REP_C, R4_REP_D], key=selection_key)
     assert best is R4_REP_D
 
 
@@ -310,6 +301,29 @@ def test_ledger_summary_counts_match_collect():
     assert all(r["sane"] for r in met)
     # and the summary is compact enough for the driver's capture window
     assert len(json.dumps(s)) < 400
+
+
+def test_selection_tiebreak_prefers_trusted_raw_run14_replay():
+    """Run 14 verbatim (BENCH_evidence_log run 20260818T004513Z-3247):
+    no rep met the criterion; the old worst-leg-soc tiebreak shipped the
+    sane raw-0.540 rep over the sane raw-0.785/norm-0.96 one.  Among
+    equally-(non-)met reps the graded number is eff_raw, so the trusted
+    capped-raw tiebreak must pick rep 0 — while a rep whose raw is
+    inflated by a collapsed leg (worst soc < 0.6) stays untrusted and
+    cannot outrank it."""
+    rep0 = _rep(3596.2, 11292.1, 3.016, 9.867, 5207.2, 16685.2)
+    rep1 = _rep(3561.9, 7698.2, 2.609, 8.709, 4607.4, 6809.5)
+    rep2 = _rep(3701.2, 9963.3, 3.104, 10.115, 4757.2, 4758.2)
+    assert rep_sanity(rep0)["sane"] and rep_sanity(rep1)["sane"]
+    assert not rep_sanity(rep2)["sane"]  # control anti-scaled (ratio 1.0)
+    assert not any(map(rep_meets_criterion, (rep0, rep1, rep2)))
+    assert max([rep0, rep1, rep2], key=selection_key) is rep0
+    assert rep0["eff_raw"] == 0.785
+    # untrusted raw: a collapsed 4-leg (soc 0.4) yields raw 1.0 — capped
+    # trust gate keeps the honest 0.785 rep on top
+    inflated = _rep(1000.0, 4000.0, 3.0, 9.6, 2500.0, 4100.0)
+    assert pair_quality(inflated) < 0.6
+    assert max([rep0, inflated], key=selection_key) is rep0
 
 
 def test_amber_retry_list_bounds():
