@@ -251,6 +251,8 @@ def rep_view(r: dict) -> dict:
         "control_16": r["runs"][16].get("control_docs_per_sec"),
         "soc_4": r["runs"][4].get("spark_over_control"),
         "soc_16": r["runs"][16].get("spark_over_control"),
+        "control_drift_4": r["runs"][4].get("control_drift"),
+        "control_drift_16": r["runs"][16].get("control_drift"),
         "mid_over_pre_4": r["runs"][4].get("mid_over_pre"),
         "mid_over_pre_16": r["runs"][16].get("mid_over_pre"),
         "eff_raw": r["eff_raw"],

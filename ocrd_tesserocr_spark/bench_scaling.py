@@ -131,6 +131,17 @@ def probe_window(pages_path: str, calib_min: float = 3.0,
     }
 
 
+def bracket_control(pre: float | None, post: float | None) -> float | None:
+    """Combine pre/post bracketing control readings into one docs/sec.
+
+    Both sides process the same doc count, so throughput over the two
+    windows together is the harmonic mean; if one side is missing, the
+    other stands alone (the pre-bracket behavior)."""
+    if pre and post:
+        return round(2.0 / (1.0 / pre + 1.0 / post), 1)
+    return post or pre
+
+
 def _timed_chunk_sec() -> float:
     t = time.time()
     _calib_chunk(0)
@@ -178,6 +189,17 @@ def run_level(cores: int, pages_path: str) -> dict:
         mid["chunk_sec"] = round(time.time() - t, 3)
         mid["end_ts"] = time.time()
 
+    # bracketing controls (round-5 runs 13/15 lesson): a single control
+    # taken AFTER the Spark leg puts the full window drift between the
+    # Spark window and the control window straight into
+    # spark_over_control — both near-miss runs knifed the raw arm's 0.7
+    # soc floor by 0.002-0.003 on exactly that adjacency.  Running the
+    # same-kernel control immediately BEFORE and AFTER the timed Spark
+    # job and combining them (docs/sec over both windows = harmonic
+    # mean, equal doc counts) centers the control estimate on the Spark
+    # window, cancelling first-order drift; control_drift (post/pre)
+    # records how much the window actually rotated across the leg.
+    control_pre = kernel_control(cores, pages_path)
     th = threading.Thread(target=_mid_probe, daemon=True)
     th.start()
     t0 = time.time()
@@ -191,7 +213,8 @@ def run_level(cores: int, pages_path: str) -> dict:
     # can't steal CPU from (and be polluted by) kernel_control, and
     # discard its reading if it ran past the job end
     th.join(timeout=60)
-    control = kernel_control(cores, pages_path)
+    control_post = kernel_control(cores, pages_path)
+    control = bracket_control(control_pre, control_post)
     mid_chunk = mid.get("chunk_sec")
     if mid_chunk is not None and mid.get("end_ts", 0) > job_end:
         mid_chunk = None
@@ -202,6 +225,14 @@ def run_level(cores: int, pages_path: str) -> dict:
         "docs_per_sec": round(n_docs / wall, 1),
         "calib_chunks_per_sec": calib,
         "control_docs_per_sec": control,
+        "control_pre_docs_per_sec": control_pre,
+        "control_post_docs_per_sec": control_post,
+        # >1 means the machine sped up across the Spark leg (the post
+        # control saw a better window than the pre one)
+        "control_drift": (
+            round(control_post / control_pre, 3)
+            if control_pre and control_post else None
+        ),
         "spark_over_control": round(n_docs / wall / control, 3) if control else None,
         "pre_calib_chunk_sec": pre_chunk_sec,
         "mid_calib_chunk_sec": mid_chunk,

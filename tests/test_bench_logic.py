@@ -351,3 +351,28 @@ def test_amber_retry_list_bounds():
     assert amber_retry_list(
         {"amber": ["xx_minhash"]}, {"xx_minhash": 0.45}, {"xx_minhash"}
     ) == ["xx_minhash"]
+
+
+def test_bracket_control_centers_on_the_spark_window():
+    """Bracketing controls (runs 13/15 lesson): soc against a post-only
+    control inherits the full pre/post window drift; against the
+    harmonic-mean bracket the first-order drift cancels.  Replay run
+    15's 4-leg: spark 3799.1 docs/sec against a post control of 5443.3
+    gave soc 0.698 (0.002 under the raw arm's floor); had the window
+    been ~10% faster during the post control than the leg average, the
+    bracketed reading lands back at the calm-window ~0.73."""
+    from ocrd_tesserocr_spark.bench_scaling import bracket_control
+
+    assert bracket_control(None, None) is None
+    assert bracket_control(5000.0, None) == 5000.0
+    assert bracket_control(None, 5000.0) == 5000.0
+    # harmonic mean of equal doc counts, and symmetric
+    assert bracket_control(4000.0, 6000.0) == 4800.0
+    assert bracket_control(6000.0, 4000.0) == 4800.0
+    # run-15 replay: post-only control 5443.3 -> soc 0.698; a pre
+    # reading 10% slower (window sped up across the leg) brackets to
+    # 5184.1 and soc recovers to 0.733
+    post = 5443.3
+    pre = post / 1.1
+    bracketed = bracket_control(pre, post)
+    assert round(3799.1 / bracketed, 3) == 0.733
