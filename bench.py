@@ -229,12 +229,23 @@ def rep_meets_criterion(r: dict) -> bool:
     socs = [
         r["runs"][c].get("spark_over_control") or 0.0 for c in (4, 16)
     ]
-    if 0.8 <= r["eff_raw"] <= 1.05 and min(socs) >= 0.7:
+    # Control-drift band (run-16 lesson): with bracketed controls, a
+    # per-leg post/pre control ratio far from 1 means the leg straddled
+    # a hypervisor regime change, and the bracketed soc is an average
+    # over two different machines — run 16's 16-leg drifted 3.29x (pre
+    # 3,934 -> post 12,931 docs/sec) and its bracketed soc 1.245 would
+    # have satisfied the normalized arm off exactly that straddle.
+    # Either arm's soc guard is only meaningful when both legs' controls
+    # were measuring ONE regime; None (pre-bracketing history) passes.
+    drifts = [r["runs"][c].get("control_drift") for c in (4, 16)]
+    drift_ok = all(d is None or 0.5 <= d <= 2.0 for d in drifts)
+    if 0.8 <= r["eff_raw"] <= 1.05 and min(socs) >= 0.7 and drift_ok:
         return True
     return (
         rep_sanity(r)["sane"]
         and all(0.8 <= s <= 1.25 for s in socs)
         and r["eff_control"] >= 0.8
+        and drift_ok
     )
 
 

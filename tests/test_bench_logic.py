@@ -376,3 +376,28 @@ def test_bracket_control_centers_on_the_spark_window():
     pre = post / 1.1
     bracketed = bracket_control(pre, post)
     assert round(3799.1 / bracketed, 3) == 0.733
+
+
+def test_drift_band_rejects_regime_straddled_normalized_met():
+    """Run 16 verbatim: the 16-leg's bracketing controls disagreed 3.287x
+    (pre 3,934 -> post 12,931 docs/sec), so its bracketed soc 1.245 is an
+    average over two different machines — the normalized arm must not
+    accept it.  The same reading without drift data (pre-bracketing
+    history) and the same reading in a one-regime window both keep their
+    verdicts."""
+    r16 = _rep(3117.6, 7510.6, 2.131, 8.524, 3719.8, 6032.2)
+    assert r16["runs"][4]["spark_over_control"] == 0.838
+    assert r16["runs"][16]["spark_over_control"] == 1.245
+    assert rep_sanity(r16)["sane"]
+    # pre-bracketing shape (no drift keys): normalized arm accepts
+    assert rep_meets_criterion(r16)
+    # with the run-16 drift evidence attached the arm is rejected
+    r16["runs"][4]["control_drift"] = 0.959
+    r16["runs"][16]["control_drift"] = 3.287
+    assert not rep_meets_criterion(r16)
+    # calm drift readings (run 16's 4-leg, the live smoke's 1.425 leg
+    # rounded into band) leave a genuinely-met raw rep met
+    met = _rep(2143.0, 6978.0, 3.0, 9.5, 2685.0, 9498.0)
+    met["runs"][4]["control_drift"] = 0.96
+    met["runs"][16]["control_drift"] = 1.43
+    assert rep_meets_criterion(met)

@@ -44,6 +44,7 @@ def _to_rep(view: dict) -> dict | None:
                 "control_docs_per_sec": view.get(f"control_{c}"),
                 "spark_over_control": view.get(f"soc_{c}"),
                 "mid_over_pre": view.get(f"mid_over_pre_{c}"),
+                "control_drift": view.get(f"control_drift_{c}"),
             }
             for c in (4, 16)
         }
