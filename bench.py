@@ -175,10 +175,26 @@ def selection_key(r: dict):
     1.05 (super-linear = degraded baseline leg) — but only when neither
     leg ran far below its own same-kernel control (worst soc >= 0.6);
     a rep whose raw is inflated by a collapsed leg falls back to the
-    window-health score.  Every rep stays in the evidence sidecar."""
+    window-health score.  A leg whose bracketing controls disagree >2x
+    (regime straddle, run 16) makes the soc untrustworthy in the same
+    way, so it demotes the rep out of the trusted tier too.  Every rep
+    stays in the evidence sidecar."""
     q = pair_quality(r)
-    trusted = (1, min(r["eff_raw"], 1.05), q) if q >= 0.6 else (0, q, 0.0)
+    trusted = (
+        (1, min(r["eff_raw"], 1.05), q)
+        if q >= 0.6 and drift_steady(r) else (0, q, 0.0)
+    )
     return (rep_sanity(r)["sane"], rep_meets_criterion(r), trusted)
+
+
+def drift_steady(r: dict) -> bool:
+    """True when each leg's bracketing controls measured ONE regime
+    (post/pre drift in [0.5, 2.0]; None = pre-bracketing history,
+    passes).  A leg that straddled a hypervisor regime change (run 16's
+    16-leg drifted 3.287x) has a soc averaged over two different
+    machines — untrustworthy for any soc-guarded decision."""
+    drifts = [r["runs"][c].get("control_drift") for c in (4, 16)]
+    return all(d is None or 0.5 <= d <= 2.0 for d in drifts)
 
 
 def rep_sanity(r: dict) -> dict:
@@ -229,16 +245,12 @@ def rep_meets_criterion(r: dict) -> bool:
     socs = [
         r["runs"][c].get("spark_over_control") or 0.0 for c in (4, 16)
     ]
-    # Control-drift band (run-16 lesson): with bracketed controls, a
-    # per-leg post/pre control ratio far from 1 means the leg straddled
-    # a hypervisor regime change, and the bracketed soc is an average
-    # over two different machines — run 16's 16-leg drifted 3.29x (pre
-    # 3,934 -> post 12,931 docs/sec) and its bracketed soc 1.245 would
-    # have satisfied the normalized arm off exactly that straddle.
+    # Control-drift band (run-16 lesson): run 16's 16-leg drifted 3.29x
+    # (pre 3,934 -> post 12,931 docs/sec) and its bracketed soc 1.245
+    # would have satisfied the normalized arm off exactly that straddle.
     # Either arm's soc guard is only meaningful when both legs' controls
-    # were measuring ONE regime; None (pre-bracketing history) passes.
-    drifts = [r["runs"][c].get("control_drift") for c in (4, 16)]
-    drift_ok = all(d is None or 0.5 <= d <= 2.0 for d in drifts)
+    # were measuring ONE regime.
+    drift_ok = drift_steady(r)
     if 0.8 <= r["eff_raw"] <= 1.05 and min(socs) >= 0.7 and drift_ok:
         return True
     return (

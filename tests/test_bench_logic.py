@@ -401,3 +401,17 @@ def test_drift_band_rejects_regime_straddled_normalized_met():
     met["runs"][4]["control_drift"] = 0.96
     met["runs"][16]["control_drift"] = 1.43
     assert rep_meets_criterion(met)
+
+
+def test_selection_demotes_drifted_rep_from_trusted_tier():
+    """Among equally-sane, equally-unmet reps, a straddled leg (drift
+    outside [0.5, 2.0]) may carry an inflated raw — the steady rep wins
+    even at a lower raw reading."""
+    drifted = _rep(2000.0, 7200.0, 3.0, 9.5, 2500.0, 8000.0)   # raw 0.9
+    drifted["runs"][16]["control_drift"] = 3.0
+    drifted["runs"][16]["spark_over_control"] = 0.65  # unmet either arm
+    steady = _rep(2000.0, 5600.0, 3.0, 9.5, 2900.0, 8500.0)    # raw 0.7
+    steady["runs"][4]["control_drift"] = 1.1
+    steady["runs"][16]["control_drift"] = 0.9
+    assert not rep_meets_criterion(drifted) and not rep_meets_criterion(steady)
+    assert selection_key(steady) > selection_key(drifted)
