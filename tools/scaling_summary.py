@@ -168,6 +168,8 @@ def collect() -> list[dict]:
                 "eff_control": view.get("eff_control"),
                 "soc_4": view.get("soc_4"),
                 "soc_16": view.get("soc_16"),
+                "drift_4": view.get("control_drift_4"),
+                "drift_16": view.get("control_drift_16"),
                 "sane": sanity["sane"],
                 "meets_criterion": bench.rep_meets_criterion(rep),
             })
@@ -223,16 +225,22 @@ def main() -> None:
         return
     hdr = (
         f"{'when':<26} {'d/s@4':>8} {'d/s@16':>8} {'raw':>6} "
-        f"{'ctrl':>6} {'soc4':>5} {'soc16':>5}  sane  criterion"
+        f"{'ctrl':>6} {'soc4':>5} {'soc16':>5} {'drft4':>5} {'drft16':>6}"
+        f"  sane  criterion"
     )
     print(hdr)
     print("-" * len(hdr))
+
+    def _d(v):  # drift: '-' for pre-bracketing history
+        return f"{v:>5.2f}" if v is not None else f"{'-':>5}"
+
     for r in rows:
         print(
             f"{r['when']:<26} {r['docs_per_sec_4']:>8.1f} "
             f"{r['docs_per_sec_16']:>8.1f} {r['eff_raw']:>6.3f} "
             f"{(r['eff_control'] or 0):>6.3f} {(r['soc_4'] or 0):>5.2f} "
-            f"{(r['soc_16'] or 0):>5.2f}  {'yes' if r['sane'] else 'NO ':<4} "
+            f"{(r['soc_16'] or 0):>5.2f} {_d(r['drift_4'])} "
+            f"{_d(r['drift_16']):>6}  {'yes' if r['sane'] else 'NO ':<4} "
             f"{'MET' if r['meets_criterion'] else '-'}"
         )
     n_sane = sum(r["sane"] for r in rows)
