@@ -318,6 +318,20 @@ def sec_needs_retry(runs: dict, wall_best: float | None) -> bool:
     return bool(wall_best and w and w > 2.0 * wall_best)
 
 
+def sec_eff(runs: dict) -> tuple:
+    """The reported eff_8_32 triple — (None, None, None) when a leg is
+    missing OR the 32-leg is a standalone wall salvage (run 19: a lone
+    32-leg measured minutes after the 8-leg lives in a different noise
+    regime; its wall is a valid comparable, its pair ratio is not)."""
+    if (
+        8 in runs
+        and 32 in runs
+        and not runs[32].get("standalone_salvage")
+    ):
+        return pair_eff(runs, 8, 32)
+    return (None, None, None)
+
+
 def sec_key(runs: dict) -> tuple:
     """Ordering for picking between the secondary run and its retry:
     healthy (worst leg at/above the soc floor) beats unhealthy; among
@@ -634,14 +648,36 @@ def main() -> None:
         load_best_file(repo_root).get(str(sf), {}).get("extraction_local32")
     )
 
-    runs_8_32 = run_pair("8,32", timeout_sec=left())
+    # run-19 lesson: the first attempt used to get ALL remaining budget,
+    # so a degraded window swallowed it whole (32-leg killed mid-stage
+    # by the timeout) and left() hit ~0 — the retry gate could never
+    # fire and the artifact shipped with no local[32] wall at all.  Cap
+    # each attempt (a healthy pair completes in ~150-250 s; 600 s means
+    # "the window is degraded, stop digging") and keep the remainder for
+    # the retry and, failing both, a standalone 32-leg wall salvage.
+    SECONDARY_ATTEMPT_CAP = 600.0
+    runs_8_32 = run_pair(
+        "8,32", timeout_sec=min(left(), SECONDARY_ATTEMPT_CAP)
+    )
 
     # one retry on a degraded worst leg OR an amber wall; keep the
     # healthier of the two runs
     if sec_needs_retry(runs_8_32, wall_best) and left() > 0:
-        retry = run_pair("8,32", timeout_sec=left())
+        retry = run_pair(
+            "8,32", timeout_sec=min(left(), SECONDARY_ATTEMPT_CAP)
+        )
         if sec_key(retry) > sec_key(runs_8_32):
             runs_8_32 = retry
+
+    # wall salvage: the local[32] extraction wall is a graded per-round
+    # comparable even when the 8->32 pair cannot complete, and a lone
+    # 32-leg still measures it.  Marked standalone so eff_8_32 is never
+    # computed across two different noise regimes.
+    if 32 not in runs_8_32 and left() > 120:
+        salvage = run_pair("32", timeout_sec=left())
+        if 32 in salvage:
+            salvage[32]["standalone_salvage"] = True
+            runs_8_32[32] = salvage[32]
 
     # headline suite (32-wide) only now — its wall time is not scaling
     # budget, its queries self-compare against calm bests and get the
@@ -703,11 +739,7 @@ def main() -> None:
         if c in runs_8_32:
             by_core[c] = runs_8_32[c]
 
-    e832_raw, e832_norm, e832_ctrl = (
-        pair_eff(runs_8_32, 8, 32)
-        if 8 in runs_8_32 and 32 in runs_8_32
-        else (None, None, None)
-    )
+    e832_raw, e832_norm, e832_ctrl = sec_eff(runs_8_32)
 
     wall32 = by_core.get(32, {}).get("wall_sec")
     if wall32 is not None:

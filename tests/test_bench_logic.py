@@ -271,6 +271,29 @@ def test_secondary_pair_retry_and_selection():
     assert sec_key(healthy) > sec_key({8: {"spark_over_control": 0.9}})
 
 
+def test_secondary_eff_refuses_standalone_salvage():
+    """Run-19 addition: when the 8->32 pair times out, a lone 32-leg is
+    re-run to salvage the local[32] wall — but its pair efficiency must
+    NOT be computed against an 8-leg from a different noise regime."""
+    from bench import sec_eff
+
+    paired = {
+        8: {"docs_per_sec": 6000.0, "calib_chunks_per_sec": 3.5,
+            "control_docs_per_sec": 7400.0},
+        32: {"docs_per_sec": 14000.0, "calib_chunks_per_sec": 9.0,
+             "control_docs_per_sec": 15000.0, "wall_sec": 22.0},
+    }
+    raw, norm, ctrl = sec_eff(paired)
+    assert raw is not None and norm is not None and ctrl is not None
+
+    salvaged = {8: paired[8],
+                32: {**paired[32], "standalone_salvage": True}}
+    assert sec_eff(salvaged) == (None, None, None)
+    # missing legs also report no efficiency
+    assert sec_eff({8: paired[8]}) == (None, None, None)
+    assert sec_eff({32: paired[32]}) == (None, None, None)
+
+
 def test_ledger_summary_counts_match_collect():
     """`ledger_summary()` (embedded in the bench result line since round
     5) must agree with the full ledger rows it summarizes, and every
