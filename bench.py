@@ -385,6 +385,25 @@ def query_health(timings: dict, best: dict) -> dict:
     return {"amber": amber, "n_green": n_green, "ref": "bench_best.json"}
 
 
+def retry_window_dead(retries: list) -> bool:
+    """True when the last TWO amber retries each came back >2x worse
+    than the first reading they were meant to improve — the signature of
+    a window that collapsed after the headline suite (run 21: lsh
+    3.07 s -> 17.2 s then near_dedup 1.20 s -> 30.3 s while the tail
+    probes read control ratios falling to 1.43).  One worse retry is
+    ordinary variance (run 12's ngram retry was worse and min() kept the
+    first); two consecutive 2x-worse readings mean every further retry
+    burns wall-clock measuring the hypervisor.  NOT gated on the scaling
+    probe: run 20's probes were all not-calm yet its retries recovered
+    8 ambers — scaling-calm and single-query throughput are different
+    properties of a window."""
+    if len(retries) < 2:
+        return False
+    return all(
+        second > 2.0 * first for first, second in retries[-2:]
+    )
+
+
 def improved_best(timings: dict, best: dict) -> dict:
     """The entries of `timings` that beat (or newly establish) their
     recorded best.  Only improvements are written back: a degraded
@@ -881,8 +900,14 @@ def main() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
         merged0 = _merged()
+        retry_pairs: list = []
         for name in retry_list:
             if time.time() - t_retry > 150:
+                break
+            if retry_window_dead(retry_pairs):
+                amber_retries["_stopped"] = (
+                    "window dead: last 2 retries each >2x worse than first"
+                )
                 break
             base = name[3:] if name.startswith("xx_") else name
             if name.startswith("xx_"):
@@ -893,6 +918,7 @@ def main() -> None:
                 if name.startswith("xx_"):
                     fn_mod.set_hash_impl("md5")
             amber_retries[name] = {"first": merged0[name], "retry": second}
+            retry_pairs.append((merged0[name], second))
             if name.startswith("xx_"):
                 xxhash[base] = min(xxhash[base], second)
             else:

@@ -443,3 +443,26 @@ def test_selection_demotes_drifted_rep_from_trusted_tier():
     steady["runs"][16]["control_drift"] = 0.9
     assert not rep_meets_criterion(drifted) and not rep_meets_criterion(steady)
     assert selection_key(steady) > selection_key(drifted)
+
+
+def test_retry_window_dead_replays_run21():
+    """Run 21's tail collapsed mid-retry: lsh 3.073 s -> 17.177 s then
+    near_dedup 1.202 s -> 30.274 s (every further retry burned wall on a
+    dead window).  Two consecutive >2x-worse retries stop the loop; one
+    worse retry (run 12's ngram) or recovering retries (run 20's eight)
+    never do."""
+    from bench import retry_window_dead
+
+    # run 21 verbatim: after the second 2x-worse pair the loop stops
+    assert not retry_window_dead([(1.336, 3.423)])           # cosine: 1 worse
+    assert retry_window_dead([(1.336, 3.423), (3.073, 17.177)])
+    assert retry_window_dead(
+        [(1.336, 3.423), (3.073, 17.177), (1.202, 30.274)]
+    )
+    # a recovery anywhere in the last two resets the streak (run 21's
+    # exact_dedup 0.981 -> 0.503 sat between the worse readings)
+    assert not retry_window_dead([(3.073, 17.177), (0.981, 0.503)])
+    # run 12 shape: mostly-recovering retries with one worse outlier
+    assert not retry_window_dead(
+        [(14.9, 0.94), (2.33, 0.42), (9.0, 18.5)]
+    )
