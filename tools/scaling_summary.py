@@ -204,7 +204,7 @@ def ledger_summary() -> dict:
         # the efficiencies of every criterion-met sane-window rep,
         # chronological by evidence-file commit: the distribution is the
         # evidence, not just the count.  A rep can meet on the raw arm
-        # (raw in [0.8,1.05], socs >= 0.7) or the control-normalized arm
+        # (raw in [0.8,1.05], socs >= 0.65) or the control-normalized arm
         # (sane + socs in [0.8,1.25] + ctrl >= 0.8), so both values ride.
         "met_raw": [round(r["eff_raw"], 3) for r in met],
         "met_ctrl": [round(r["eff_control"], 3)
@@ -248,7 +248,7 @@ def main() -> None:
     print(
         f"\n{len(rows)} reps recorded; {n_sane} sane-window; "
         f"{n_met} meet the >=0.8 scaling criterion "
-        f"(raw in [0.8,1.05] w/ socs>=0.7, or sane + socs in [0.8,1.25] "
+        f"(raw in [0.8,1.05] w/ socs>=0.65, or sane + socs in [0.8,1.25] "
         f"+ control-normalized >= 0.8)"
     )
 
