@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Benchmark harness (driver contract).
 
-Prints ONE COMPACT JSON line (target <= 1.5 KB so the driver's tail
+Prints ONE COMPACT JSON line (target <= 1.7 KB so the driver's tail
 capture always parses it — BENCH_r03 shipped unreadable when the full
 per-rep record outgrew the window):
   {"metric": ..., "value": <total headline sec>, "unit": "sec",
@@ -160,12 +160,13 @@ def pair_eff(runs: dict, lo: int, hi: int) -> tuple[float, float, float]:
     return round(raw, 3), round(norm, 3), round(ctrl, 3)
 
 def pair_quality(r: dict) -> float:
-    """Worst per-leg spark_over_control of a 4,16 rep — the window-
+    """Worst per-leg spark_over_control of an N,4N rep — the window-
     health score used to pick the reported rep (a leg where Spark ran
     far below the same-kernel control was a degraded window, not an
     engine property)."""
     socs = [
-        r["runs"][c].get("spark_over_control") or 0.0 for c in (4, 16)
+        r["runs"][c].get("spark_over_control") or 0.0
+        for c in sorted(r["runs"])
     ]
     return min(socs)
 
@@ -182,7 +183,8 @@ def selection_key(r: dict):
     window-health score.  A leg whose bracketing controls disagree >2x
     (regime straddle, run 16) makes the soc untrustworthy in the same
     way, so it demotes the rep out of the trusted tier too.  Every rep
-    stays in the evidence sidecar."""
+    stays in the evidence sidecar.  Works for any N->4N pair (the 2->8
+    fallback reps are ranked by the same order)."""
     q = pair_quality(r)
     trusted = (
         (1, min(r["eff_raw"], 1.05), q)
@@ -197,12 +199,12 @@ def drift_steady(r: dict) -> bool:
     passes).  A leg that straddled a hypervisor regime change (run 16's
     16-leg drifted 3.287x) has a soc averaged over two different
     machines — untrustworthy for any soc-guarded decision."""
-    drifts = [r["runs"][c].get("control_drift") for c in (4, 16)]
+    drifts = [r["runs"][c].get("control_drift") for c in sorted(r["runs"])]
     return all(d is None or 0.5 <= d <= 2.0 for d in drifts)
 
 
 def rep_sanity(r: dict) -> dict:
-    """Normalizer-sanity screen for a 4->16 rep (VERDICT r3 item 2).
+    """Normalizer-sanity screen for an N->4N rep (VERDICT r3 item 2).
 
     DEGENERATE (reject — the normalized efficiencies are garbage and the
     rep must not be SELECTED, though it stays in the evidence): a probe
@@ -215,7 +217,8 @@ def rep_sanity(r: dict) -> dict:
     consistent measurement of a window where the machine itself refused
     to deliver 4x CPU — exactly the case the control-normalized
     criterion arm exists for."""
-    lo, hi = r["runs"][4], r["runs"][16]
+    lo_c, hi_c = sorted(r["runs"])
+    lo, hi = r["runs"][lo_c], r["runs"][hi_c]
     c_lo, c_hi = lo.get("calib_chunks_per_sec"), hi.get("calib_chunks_per_sec")
     k_lo, k_hi = lo.get("control_docs_per_sec"), hi.get("control_docs_per_sec")
     calib_ratio = round(c_hi / c_lo, 3) if c_lo and c_hi else None
@@ -257,9 +260,13 @@ def rep_meets_criterion(r: dict) -> bool:
     healthy-leg misses (runs 7/15 shapes, soc_4 0.683/0.698 at 3,627/
     3,799 docs/s) and still rejects every throttled-denominator rep
     (0.626, 0.637, 0.584, 0.521).  Full distribution table in
-    BASELINE.md "soc floor re-derivation (after run 23)"."""
+    BASELINE.md "soc floor re-derivation (after run 23)".  Applies to
+    any N->4N pair: the north rule's criterion is two cluster sizes a
+    factor 4 apart, not specifically 4->16 (the 2->8 fallback pair is
+    graded by this same shape)."""
     socs = [
-        r["runs"][c].get("spark_over_control") or 0.0 for c in (4, 16)
+        r["runs"][c].get("spark_over_control") or 0.0
+        for c in sorted(r["runs"])
     ]
     # Control-drift band (run-16 lesson): run 16's 16-leg drifted 3.29x
     # (pre 3,934 -> post 12,931 docs/sec) and its bracketed soc 1.245
@@ -278,26 +285,24 @@ def rep_meets_criterion(r: dict) -> bool:
 
 
 def rep_view(r: dict) -> dict:
-    if r.get("redemption"):
-        return {"redemption": True, **rep_view({k: v for k, v in r.items()
-                                                if k != "redemption"})}
-    return {
-        "docs_per_sec_4": r["runs"][4]["docs_per_sec"],
-        "docs_per_sec_16": r["runs"][16]["docs_per_sec"],
-        "calib_4": r["runs"][4]["calib_chunks_per_sec"],
-        "calib_16": r["runs"][16]["calib_chunks_per_sec"],
-        "control_4": r["runs"][4].get("control_docs_per_sec"),
-        "control_16": r["runs"][16].get("control_docs_per_sec"),
-        "soc_4": r["runs"][4].get("spark_over_control"),
-        "soc_16": r["runs"][16].get("spark_over_control"),
-        "control_drift_4": r["runs"][4].get("control_drift"),
-        "control_drift_16": r["runs"][16].get("control_drift"),
-        "mid_over_pre_4": r["runs"][4].get("mid_over_pre"),
-        "mid_over_pre_16": r["runs"][16].get("mid_over_pre"),
-        "eff_raw": r["eff_raw"],
-        "eff_norm": r["eff_norm"],
-        "eff_control": r["eff_control"],
-    }
+    for tag in ("redemption", "fallback"):
+        if r.get(tag):
+            return {tag: True, **rep_view({k: v for k, v in r.items()
+                                           if k != tag})}
+    lo, hi = sorted(r["runs"])
+    view: dict = {} if (lo, hi) == (4, 16) else {"pair": [lo, hi]}
+    for c in (lo, hi):
+        leg = r["runs"][c]
+        view[f"docs_per_sec_{c}"] = leg["docs_per_sec"]
+        view[f"calib_{c}"] = leg["calib_chunks_per_sec"]
+        view[f"control_{c}"] = leg.get("control_docs_per_sec")
+        view[f"soc_{c}"] = leg.get("spark_over_control")
+        view[f"control_drift_{c}"] = leg.get("control_drift")
+        view[f"mid_over_pre_{c}"] = leg.get("mid_over_pre")
+    view["eff_raw"] = r["eff_raw"]
+    view["eff_norm"] = r["eff_norm"]
+    view["eff_control"] = r["eff_control"]
+    return view
 
 
 #: window-health floor for settling a measurement (worst-leg
@@ -722,24 +727,42 @@ def main() -> None:
     timings, xxhash = run_headline_suite()
     budget += time.time() - t_pause
 
-    # Redemption rep (run-14 lesson): every front-loaded rep of that run
-    # landed in one degraded window and the run shipped unmet even though
-    # the window had rotated by the end — the same rotation the amber
-    # retry exploits for queries.  If no primary rep met the criterion,
-    # spend remaining scaling budget on ONE more 4->16 rep, gated on a
-    # single calm probe (no sleep-and-wait this late in the run).
+    # Redemption rep (run-14 lesson) / 2->8 fallback pair (run-24
+    # lesson): if no primary rep met the criterion, probe once.  A CALM
+    # reading buys one more 4->16 rep (run 14: the window had rotated by
+    # the end — the same rotation the amber retry exploits).  A reading
+    # with healthy pure-CPU process scaling but a refused control ratio
+    # — runs 22/24's wide-grant-refusal signature, where the hypervisor
+    # grants narrow lanes at record pace (run 24's 4-leg: 4,117 docs/s)
+    # but refuses every 16-wide grant for the hour — buys one 2->8 pair
+    # instead: the north rule's criterion is N -> 4N cores, not
+    # specifically 4 -> 16 (BASELINE.json: "e.g. local[8] and local[32],
+    # or N and 4N cores"), and 8-wide grants survive refusal hours that
+    # kill 16-wide ones.  The fallback rep is graded by the SAME
+    # sanity / drift-band / criterion helpers and lands in its own
+    # evidence list, clearly labeled.
+    reps_2_8: list[dict] = []
     if (
         not any(rep_meets_criterion(r) for r in reps_4_16)
         and left() > (rep_est or 300) + 60
-        and run_probe().get("calm")
     ):
-        runs = run_pair("4,16", timeout_sec=left(), path=pair_path)
-        if 4 in runs and 16 in runs:
-            raw, norm, ctrl = pair_eff(runs, 4, 16)
-            reps_4_16.append(
-                {"runs": runs, "eff_raw": raw, "eff_norm": norm,
-                 "eff_control": ctrl, "redemption": True}
-            )
+        p = run_probe()
+        if p.get("calm"):
+            runs = run_pair("4,16", timeout_sec=left(), path=pair_path)
+            if 4 in runs and 16 in runs:
+                raw, norm, ctrl = pair_eff(runs, 4, 16)
+                reps_4_16.append(
+                    {"runs": runs, "eff_raw": raw, "eff_norm": norm,
+                     "eff_control": ctrl, "redemption": True}
+                )
+        elif (p.get("calib_ratio") or 0) >= PROBE_CALIB_MIN:
+            runs = run_pair("2,8", timeout_sec=left(), path=pair_path)
+            if 2 in runs and 8 in runs:
+                raw, norm, ctrl = pair_eff(runs, 2, 8)
+                reps_2_8.append(
+                    {"runs": runs, "eff_raw": raw, "eff_norm": norm,
+                     "eff_control": ctrl, "fallback": True}
+                )
 
     run_id = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()) + f"-{os.getpid()}"
 
@@ -784,7 +807,7 @@ def main() -> None:
     # ------------------------------------------------------------------
     # Evidence sidecar (VERDICT r3 item 1): the FULL per-rep / per-level
     # record goes to a file; the printed result stays one COMPACT JSON
-    # line (target <= 1.5 KB) so the driver's tail-capture window can
+    # line (target <= 1.7 KB) so the driver's tail-capture window can
     # always parse it.
     # ------------------------------------------------------------------
     repo_root = os.path.dirname(os.path.abspath(__file__))
@@ -803,6 +826,9 @@ def main() -> None:
         "xxhash_queries_sec": xxhash,
         "errors": errors,
     }
+    if reps_2_8:
+        evidence["pair_reps_2_8"] = [rep_view(r) for r in reps_2_8]
+        evidence["rep_sanity_2_8"] = [rep_sanity(r) for r in reps_2_8]
     with open(os.path.join(repo_root, evidence_name), "w") as f:
         json.dump(evidence, f, indent=2)
     append_evidence_log(repo_root, evidence, run_id)
@@ -848,6 +874,21 @@ def main() -> None:
         "n_errors": len(errors),
         "evidence": evidence_name,
     }
+    if reps_2_8:
+        # wide-grant-refusal fallback pair (same 4x factor, same
+        # grading helpers); one COMPACT block on the line ("met" spelled
+        # out because this pair is the run's criterion case when the
+        # primary could not be) — full normalizer detail rides in the
+        # sidecar's pair_reps_2_8 / rep_sanity_2_8
+        fb = reps_2_8[0]
+        extraction["fb_2_8"] = {
+            "raw": fb["eff_raw"],
+            "control_norm": fb["eff_control"],
+            "soc": [fb["runs"][2].get("spark_over_control"),
+                    fb["runs"][8].get("spark_over_control")],
+            "sane": rep_sanity(fb)["sane"],
+            "met": rep_meets_criterion(fb),
+        }
 
     # cross-run ledger counts (VERDICT r4 item 1): every 4->16 rep in
     # the committed evidence history plus this run, recomputed through
@@ -870,6 +911,10 @@ def main() -> None:
             "reps": led["reps"], "sane": led["sane"], "met": led["met"],
             "met_raw": led.get("met_raw", [])[-6:],
         }
+        if led.get("reps_2_8"):
+            extraction["ledger"]["met_2_8"] = (
+                f"{led['met_2_8']}/{led['reps_2_8']}"
+            )
     except Exception as exc:  # git absent / malformed history: non-fatal
         extraction["ledger"] = {"error": str(exc)[:80]}
 
@@ -966,7 +1011,11 @@ def main() -> None:
         "extraction": extraction,
     }
     line = json.dumps(result)
-    if len(line) > 1500:
+    # guard raised 1500 -> 1700 with the 2->8 fallback block: the
+    # driver tail-captures ~2 KB, so 1700 keeps >= 300 bytes of margin
+    # while letting the worst case (secondary + fallback + 6 ambers)
+    # keep its full per-query detail
+    if len(line) > 1700:
         # last-ditch guard for the driver's capture window: shed the
         # per-query detail into the sidecar, keep the contract fields
         evidence["queries_full"] = timings

@@ -166,9 +166,76 @@ def test_rederived_floor_admits_healthy_leg_and_rejects_throttled():
     assert not rep_meets_criterion(R5_REP_THROTTLED)
 
 
+def _rep28(dps2, dps8, calib2, calib8, ctrl2, ctrl8):
+    """A 2->8 fallback rep: same shape as _rep but keyed by its own
+    core counts — the helpers must grade it identically (the north
+    rule's criterion is N -> 4N cores, not specifically 4 -> 16)."""
+    runs = {
+        2: {
+            "docs_per_sec": dps2,
+            "calib_chunks_per_sec": calib2,
+            "control_docs_per_sec": ctrl2,
+            "spark_over_control": round(dps2 / ctrl2, 3),
+        },
+        8: {
+            "docs_per_sec": dps8,
+            "calib_chunks_per_sec": calib8,
+            "control_docs_per_sec": ctrl8,
+            "spark_over_control": round(dps8 / ctrl8, 3),
+        },
+    }
+    raw = round(dps8 / (4.0 * dps2), 3)
+    norm = round((dps8 / calib8) / (dps2 / calib2), 3)
+    ctrl = round((dps8 / ctrl8) / (dps2 / ctrl2), 3)
+    return {"runs": runs, "eff_raw": raw, "eff_norm": norm,
+            "eff_control": ctrl, "fallback": True}
+
+
+def test_fallback_2_8_pair_graded_by_same_helpers():
+    """Wide-grant-refusal fallback (run-24 lesson): a healthy 2->8 rep
+    passes sanity AND the criterion through the SAME generalized
+    helpers; a 2->8 rep with a throttled 2-leg is refused by the same
+    soc floor that refused run 23's 4-leg."""
+    healthy = _rep28(1400.0, 4800.0, 1.45, 5.2, 1900.0, 6100.0)
+    assert healthy["eff_raw"] == 0.857
+    s = rep_sanity(healthy)
+    assert s["sane"] and s["calib_ratio"] > 3 and s["control_ratio"] > 3
+    assert rep_meets_criterion(healthy)
+    # throttled 2-leg: great-looking raw off a degraded denominator
+    throttled = _rep28(900.0, 3400.0, 1.4, 5.3, 1900.0, 6000.0)
+    assert throttled["eff_raw"] > 0.9
+    assert throttled["runs"][2]["spark_over_control"] < 0.65
+    assert not rep_meets_criterion(throttled)
+
+
+def test_fallback_rep_view_roundtrips_through_summary():
+    """rep_view emits per-core key names + the pair tag; the ledger's
+    _to_rep must invert it so fallback reps get the same cross-run
+    grading as primary ones."""
+    from bench import rep_view
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from scaling_summary import _to_rep
+
+    healthy = _rep28(1400.0, 4800.0, 1.45, 5.2, 1900.0, 6100.0)
+    view = rep_view(healthy)
+    assert view["fallback"] is True and view["pair"] == [2, 8]
+    assert view["docs_per_sec_2"] == 1400.0 and view["soc_8"] == 0.787
+    rt = _to_rep(view)
+    assert sorted(rt["runs"]) == [2, 8]
+    assert rep_meets_criterion(rt)
+    # the primary view keeps its historical shape (no pair tag)
+    pv = rep_view(CLEAN_REP)
+    assert "pair" not in pv and "docs_per_sec_4" in pv
+    assert sorted(_to_rep(pv)["runs"]) == [4, 16]
+
+
 def test_compact_result_line_fits_capture_window():
     """The driver tail-captures ~2 KB; the printed result line must stay
-    under 1.5 KB with a full queries map and extraction block."""
+    under the 1.7 KB shed-guard with a full queries map, extraction
+    block, AND the 2->8 fallback block (the worst case)."""
     timings = {k: round(0.123 + i, 3) for i, k in enumerate(
         ["q1_pricing_summary", "agg_concat_reading_order", "topk_choices",
          "reading_order", "span_clamp", "resume_antijoin", "exact_dedup",
@@ -185,7 +252,13 @@ def test_compact_result_line_fits_capture_window():
                 "calib_ratio": 2.901, "control_ratio": 3.2, "sane": True},
         "n_reps": 4, "n_errors": 2, "evidence": "BENCH_evidence.json",
         "ledger": {"reps": 51, "sane": 31, "met": 11,
-                   "met_raw": [0.882, 0.847, 0.891, 0.928, 0.84, 0.741]},
+                   "met_raw": [0.882, 0.847, 0.891, 0.928, 0.84, 0.741],
+                   "met_2_8": "1/2"},
+        # fallback-pair block present too: the worst-case line is a
+        # refusal-window run that ran BOTH the secondary and the 2->8
+        # fallback (compact form; normalizer detail in the sidecar)
+        "fb_2_8": {"raw": 0.861, "control_norm": 1.01,
+                   "soc": [0.71, 0.79], "sane": True, "met": True},
     }
     line = json.dumps({
         "metric": ("headline operator suite + html extraction (docs/sec; "
@@ -199,7 +272,7 @@ def test_compact_result_line_fits_capture_window():
                    "simhash": 0.298, "fingerprint": 0.401},
         "extraction": extraction,
     })
-    assert len(line) < 1500, len(line)
+    assert len(line) < 1700, len(line)
 
 
 def test_query_health_flags_only_over_2x_best():

@@ -33,9 +33,11 @@ sys.path.insert(0, REPO)
 import bench  # noqa: E402  (pure-python at import; no Spark)
 
 
-def _to_rep(view: dict) -> dict | None:
+def _to_rep(view: dict, cores: tuple = (4, 16)) -> dict | None:
     """Invert bench.rep_view: compact evidence row -> the rep shape the
-    sanity/criterion helpers consume."""
+    sanity/criterion helpers consume.  `cores` defaults to the primary
+    4->16 pair; fallback views carry their own "pair" field."""
+    cores = tuple(view.get("pair") or cores)
     try:
         runs = {
             c: {
@@ -46,7 +48,7 @@ def _to_rep(view: dict) -> dict | None:
                 "mid_over_pre": view.get(f"mid_over_pre_{c}"),
                 "control_drift": view.get(f"control_drift_{c}"),
             }
-            for c in (4, 16)
+            for c in cores
         }
     except KeyError:
         return None
@@ -143,36 +145,42 @@ def collect() -> list[dict]:
 
     def add(when: str, source: str, entry: dict) -> None:
         run_id = entry.get("run_id", "")
-        for view in entry.get("pair_reps_4_16") or []:
-            rep = _to_rep(view)
-            if rep is None or rep.get("eff_raw") is None:
-                continue
-            # identical readings re-seen through a later snapshot of the
-            # same file are one measurement, not two
-            key = (
-                view.get("docs_per_sec_4"),
-                view.get("docs_per_sec_16"),
-                view.get("eff_raw"),
-            )
-            if key in seen:
-                continue
-            seen.add(key)
-            sanity = bench.rep_sanity(rep)
-            rows.append({
-                "when": when,
-                "source": source,
-                "run_id": run_id,
-                "docs_per_sec_4": view["docs_per_sec_4"],
-                "docs_per_sec_16": view["docs_per_sec_16"],
-                "eff_raw": view["eff_raw"],
-                "eff_control": view.get("eff_control"),
-                "soc_4": view.get("soc_4"),
-                "soc_16": view.get("soc_16"),
-                "drift_4": view.get("control_drift_4"),
-                "drift_16": view.get("control_drift_16"),
-                "sane": sanity["sane"],
-                "meets_criterion": bench.rep_meets_criterion(rep),
-            })
+        for list_key, cores in (("pair_reps_4_16", (4, 16)),
+                                ("pair_reps_2_8", (2, 8))):
+            for view in entry.get(list_key) or []:
+                rep = _to_rep(view, cores)
+                if rep is None or rep.get("eff_raw") is None:
+                    continue
+                lo, hi = sorted(rep["runs"])
+                # identical readings re-seen through a later snapshot of
+                # the same file are one measurement, not two
+                key = (
+                    view.get(f"docs_per_sec_{lo}"),
+                    view.get(f"docs_per_sec_{hi}"),
+                    view.get("eff_raw"),
+                )
+                if key in seen:
+                    continue
+                seen.add(key)
+                sanity = bench.rep_sanity(rep)
+                rows.append({
+                    "when": when,
+                    "source": source,
+                    "run_id": run_id,
+                    "pair": f"{lo},{hi}",
+                    # lo/hi land in the table's two throughput columns
+                    # whatever the pair width
+                    "docs_per_sec_4": view[f"docs_per_sec_{lo}"],
+                    "docs_per_sec_16": view[f"docs_per_sec_{hi}"],
+                    "eff_raw": view["eff_raw"],
+                    "eff_control": view.get("eff_control"),
+                    "soc_4": view.get(f"soc_{lo}"),
+                    "soc_16": view.get(f"soc_{hi}"),
+                    "drift_4": view.get(f"control_drift_{lo}"),
+                    "drift_16": view.get(f"control_drift_{hi}"),
+                    "sane": sanity["sane"],
+                    "meets_criterion": bench.rep_meets_criterion(rep),
+                })
 
     # committed snapshots oldest-first, working tree last (newest wins
     # the dedupe only if unseen)
@@ -196,10 +204,16 @@ def ledger_summary() -> dict:
     *inside* the artifact instead of only in builder-session notes.
     """
     rows = collect()
-    met = [r for r in rows if r["meets_criterion"]]
+    # the historical "met" series stays a pure 4->16 count; fallback
+    # 2->8 reps (wide-grant-refusal windows) ride as their own series
+    # so neither inflates the other
+    primary = [r for r in rows if r.get("pair", "4,16") == "4,16"]
+    fallback = [r for r in rows if r.get("pair") == "2,8"]
+    met = [r for r in primary if r["meets_criterion"]]
+    met_fb = [r for r in fallback if r["meets_criterion"]]
     out = {
-        "reps": len(rows),
-        "sane": sum(1 for r in rows if r["sane"]),
+        "reps": len(primary),
+        "sane": sum(1 for r in primary if r["sane"]),
         "met": len(met),
         # the efficiencies of every criterion-met sane-window rep,
         # chronological by evidence-file commit: the distribution is the
@@ -214,6 +228,10 @@ def ledger_summary() -> dict:
     best16 = max((r["docs_per_sec_16"] for r in met), default=None)
     if best16 is not None:
         out["best_met_docs_per_sec_16"] = best16
+    if fallback:
+        out["reps_2_8"] = len(fallback)
+        out["met_2_8"] = len(met_fb)
+        out["met_2_8_raw"] = [round(r["eff_raw"], 3) for r in met_fb]
     return out
 
 
@@ -235,22 +253,33 @@ def main() -> None:
         return f"{v:>5.2f}" if v is not None else f"{'-':>5}"
 
     for r in rows:
+        verdict = "MET" if r["meets_criterion"] else "-"
+        if r.get("pair", "4,16") != "4,16":
+            verdict += f" [{r['pair']}]"
         print(
             f"{r['when']:<26} {r['docs_per_sec_4']:>8.1f} "
             f"{r['docs_per_sec_16']:>8.1f} {r['eff_raw']:>6.3f} "
             f"{(r['eff_control'] or 0):>6.3f} {(r['soc_4'] or 0):>5.2f} "
             f"{(r['soc_16'] or 0):>5.2f} {_d(r['drift_4'])} "
             f"{_d(r['drift_16']):>6}  {'yes' if r['sane'] else 'NO ':<4} "
-            f"{'MET' if r['meets_criterion'] else '-'}"
+            f"{verdict}"
         )
-    n_sane = sum(r["sane"] for r in rows)
-    n_met = sum(r["meets_criterion"] for r in rows)
+    primary = [r for r in rows if r.get("pair", "4,16") == "4,16"]
+    fallback = [r for r in rows if r.get("pair") == "2,8"]
+    n_sane = sum(r["sane"] for r in primary)
+    n_met = sum(r["meets_criterion"] for r in primary)
     print(
-        f"\n{len(rows)} reps recorded; {n_sane} sane-window; "
-        f"{n_met} meet the >=0.8 scaling criterion "
+        f"\n{len(primary)} primary 4->16 reps recorded; {n_sane} "
+        f"sane-window; {n_met} meet the >=0.8 scaling criterion "
         f"(raw in [0.8,1.05] w/ socs>=0.65, or sane + socs in [0.8,1.25] "
         f"+ control-normalized >= 0.8)"
     )
+    if fallback:
+        print(
+            f"{len(fallback)} fallback 2->8 reps (wide-grant-refusal "
+            f"windows; same 4x factor, same criterion): "
+            f"{sum(r['meets_criterion'] for r in fallback)} met"
+        )
 
     walls = collect_walls()
     if walls:
