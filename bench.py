@@ -365,17 +365,32 @@ def sec_key(runs: dict) -> tuple:
     )
 
 
-def amber_retry_list(qbest: dict, best_ref: dict, known: set) -> list:
+def amber_retry_list(
+    qbest: dict, best_ref: dict, known: set, timings: dict | None = None
+) -> list:
     """Which amber queries earn the single end-of-run re-measure: real
     queries only (never the extraction wall), with a small recorded calm
     best (bounds the retry pass — a query whose best is minutes could
-    run unbounded in a still-degraded window), capped at 8."""
-    return [
+    run unbounded in a still-degraded window), capped at 8.
+
+    Ranked by badness ratio (reading / calm best), worst first, when
+    `timings` is given: run 27 had 8+ ordinary ambers, so the
+    alphabetical cap cut every `xx_`-namespaced key (they sort last)
+    and the xxhash arm's 183.9 s minhash — 565x its calm best, the
+    single worst reading in the artifact — shipped unretried.  The
+    retry budget must go to the most anomalous readings, not the
+    alphabet."""
+    eligible = [
         q for q in qbest.get("amber", [])
         if q in known
         and q != "extraction_local32"
         and 0 < best_ref.get(q, 0) < 5.0
-    ][:8]
+    ]
+    if timings:
+        eligible.sort(
+            key=lambda q: timings.get(q, 0.0) / best_ref[q], reverse=True
+        )
+    return eligible[:8]
 
 
 def load_best_file(repo_root: str) -> dict:
@@ -946,7 +961,7 @@ def main() -> None:
     amber_retries: dict[str, dict] = {}
     qs = entry_mod.queries()
     known = set(qs) | {f"xx_{k}" for k in XXHASH_QUERIES if k in qs}
-    retry_list = amber_retry_list(qbest, best_ref, known)
+    retry_list = amber_retry_list(qbest, best_ref, known, _merged())
     if retry_list:
         from ocrd_tesserocr_spark import functions as fn_mod
 

@@ -479,6 +479,43 @@ def test_amber_retry_list_bounds():
     ) == ["xx_minhash"]
 
 
+def test_amber_retry_list_ranks_by_badness_ratio():
+    """Run-27 replay: with 8+ ordinary ambers the alphabetical cap cut
+    every xx_ key (they sort last), so the xxhash arm's 183.9 s minhash
+    — 565x its calm best, the worst reading in the artifact — shipped
+    unretried.  Ranked by reading/best, it must come FIRST."""
+    from bench import amber_retry_list
+
+    best = {
+        "cosine_topk": 0.377, "fingerprint": 0.314, "glyph_topk": 0.119,
+        "lsh_pairs": 0.569, "minhash_signature": 0.339,
+        "near_dedup_verified": 0.381, "ngram_jaccard_stats": 1.175,
+        "q1_pricing_summary": 0.197, "xx_lsh_pairs": 0.543,
+        "xx_minhash_signature": 0.325, "xx_simhash": 0.141,
+    }
+    timings = {
+        "cosine_topk": 0.989, "fingerprint": 0.633, "glyph_topk": 0.377,
+        "lsh_pairs": 2.466, "minhash_signature": 1.147,
+        "near_dedup_verified": 1.023, "ngram_jaccard_stats": 30.192,
+        "q1_pricing_summary": 0.934, "xx_lsh_pairs": 6.673,
+        "xx_minhash_signature": 183.855, "xx_simhash": 0.974,
+    }
+    qb = {"amber": sorted(best)}  # alphabetical, as query_health emits
+    got = amber_retry_list(qb, best, set(best), timings)
+    assert len(got) == 8
+    # worst offenders lead: xx_minhash 565x, then ngram 25.7x
+    assert got[0] == "xx_minhash_signature"
+    assert got[1] == "ngram_jaccard_stats"
+    assert "xx_lsh_pairs" in got  # 12.3x — inside the cap now
+    # the mildest ambers (near_dedup 2.7x, cosine 2.6x, fingerprint
+    # 2.0x) are what the cap cuts now, not the arm
+    assert "cosine_topk" not in got and "fingerprint" not in got
+    assert "near_dedup_verified" not in got
+    # without timings the legacy insertion order is preserved
+    legacy = amber_retry_list(qb, best, set(best))
+    assert legacy == sorted(best)[:8]
+
+
 def test_bracket_control_centers_on_the_spark_window():
     """Bracketing controls (runs 13/15 lesson): soc against a post-only
     control inherits the full pre/post window drift; against the
