@@ -284,6 +284,26 @@ def rep_meets_criterion(r: dict) -> bool:
     )
 
 
+def wide_grant_refusal(reps: list) -> bool:
+    """True when >= 2 completed reps this run each show the wide-grant
+    refusal shape: a healthy narrow leg (lower-core soc >= 0.65) paired
+    with a starved wide leg (higher-core soc < 0.5).  Run-28 lesson:
+    the redemption slot trusted a single late probe that momentarily
+    read calm (ctrl ratio 2.805) and bought a fourth 4->16 rep, which
+    the hour starved exactly like the first three (soc_16 0.385) —
+    while reps 0/1 had already proven the refusal (socs 0.443/0.430 on
+    4,000+ docs/s 4-legs).  Accumulated rep-level evidence of WHAT THE
+    HOUR GRANTS outranks one probe reading of what it claims."""
+    n = 0
+    for r in reps:
+        lo_c, hi_c = sorted(r["runs"])
+        soc_lo = r["runs"][lo_c].get("spark_over_control") or 0.0
+        soc_hi = r["runs"][hi_c].get("spark_over_control") or 0.0
+        if soc_lo >= 0.65 and soc_hi < 0.5:
+            n += 1
+    return n >= 2
+
+
 def rep_view(r: dict) -> dict:
     for tag in ("redemption", "fallback"):
         if r.get(tag):
@@ -762,7 +782,24 @@ def main() -> None:
         and left() > (rep_est or 300) + 60
     ):
         p = run_probe()
-        if p.get("calm"):
+        if (
+            wide_grant_refusal(reps_4_16)
+            and (p.get("calib_ratio") or 0) >= PROBE_CALIB_MIN
+        ):
+            # >= 2 reps already proved the hour starves wide grants:
+            # spend the redemption budget on the 2->8 pair even if this
+            # one probe reads calm (run 28: the probe lied, the fourth
+            # 4->16 rep was starved like the first three).  The calib
+            # floor still applies — a machine that can't even scale
+            # pure-CPU processes dooms any pair.
+            runs = run_pair("2,8", timeout_sec=left(), path=pair_path)
+            if 2 in runs and 8 in runs:
+                raw, norm, ctrl = pair_eff(runs, 2, 8)
+                reps_2_8.append(
+                    {"runs": runs, "eff_raw": raw, "eff_norm": norm,
+                     "eff_control": ctrl, "fallback": True}
+                )
+        elif p.get("calm"):
             runs = run_pair("4,16", timeout_sec=left(), path=pair_path)
             if 4 in runs and 16 in runs:
                 raw, norm, ctrl = pair_eff(runs, 4, 16)

@@ -601,3 +601,26 @@ def test_retry_window_dead_replays_run21():
     assert not retry_window_dead(
         [(14.9, 0.94), (2.33, 0.42), (9.0, 18.5)]
     )
+
+
+def test_wide_grant_refusal_from_rep_evidence():
+    """Run-28 replay: reps 0/1/3 each paired a healthy 4-leg (soc >=
+    0.65) with a starved 16-leg (soc < 0.5) — the redemption slot must
+    prefer the 2->8 fallback on that accumulated evidence even when a
+    single late probe reads calm (run 28's did, and the fourth 4->16
+    rep it bought was starved like the first three)."""
+    from bench import wide_grant_refusal
+
+    # run-28 verbatim: (dps4, dps16, calib4, calib16, ctrl4, ctrl16)
+    rep0 = _rep(3998.6, 6635.3, 2.9, 8.3, 5663.9, 14977.7)   # socs 0.706/0.443
+    rep1 = _rep(4180.4, 7534.1, 2.9, 9.8, 5758.1, 17521.2)   # socs 0.726/0.430
+    rep2 = _rep(4629.5, 5911.4, 2.9, 8.5, 6239.2, 8784.0)    # socs 0.742/0.673
+    rep3 = _rep(4122.6, 6868.9, 2.9, 11.4, 5839.4, 17841.3)  # socs 0.706/0.385
+    assert wide_grant_refusal([rep0, rep1, rep2, rep3])
+    # one starved rep is ordinary window noise, not an hour signature
+    assert not wide_grant_refusal([rep0, rep2])
+    # starved WIDE leg is the signature; a starved narrow leg (throttled
+    # denominator, run-23 shape) is not
+    throttled = _rep(2656.0, 10315.0, 2.9, 8.5, 4244.0, 13662.0)  # soc4 0.626
+    assert not wide_grant_refusal([throttled, throttled])
+    assert not wide_grant_refusal([])
