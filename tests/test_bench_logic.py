@@ -413,7 +413,7 @@ def test_ledger_summary_counts_match_collect():
             "tools",
         ),
     )
-    from scaling_summary import collect, ledger_summary
+    from scaling_summary import MET_TAIL, collect, ledger_summary
 
     rows = collect()
     s = ledger_summary()
@@ -421,11 +421,14 @@ def test_ledger_summary_counts_match_collect():
     assert s["reps"] == len(rows)
     assert s["sane"] == sum(1 for r in rows if r["sane"])
     assert s["met"] == len(met)
-    assert s["met_raw"] == [round(r["eff_raw"], 3) for r in met]
+    # the arrays are the newest MET_TAIL entries (counts stay exact
+    # totals; the full distribution is recomputable via collect())
+    assert s["met_raw"] == [round(r["eff_raw"], 3) for r in met][-MET_TAIL:]
     assert len(s["met_ctrl"]) == len(s["met_raw"])
     # criterion-met reps are a subset of sane reps by construction
     assert all(r["sane"] for r in met)
-    # and the summary is compact enough for the driver's capture window
+    # and the summary stays compact enough for the driver's capture
+    # window no matter how large the ledger grows (tail-capped arrays)
     assert len(json.dumps(s)) < 400
 
 

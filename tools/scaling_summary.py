@@ -28,6 +28,10 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: newest criterion-met efficiencies kept in ledger_summary()'s arrays —
+#: bounds the embedded summary as the ledger grows (counts stay exact)
+MET_TAIL = 12
 sys.path.insert(0, REPO)
 
 import bench  # noqa: E402  (pure-python at import; no Spark)
@@ -215,15 +219,20 @@ def ledger_summary() -> dict:
         "reps": len(primary),
         "sane": sum(1 for r in primary if r["sane"]),
         "met": len(met),
-        # the efficiencies of every criterion-met sane-window rep,
+        # the efficiencies of criterion-met sane-window reps,
         # chronological by evidence-file commit: the distribution is the
         # evidence, not just the count.  A rep can meet on the raw arm
         # (raw in [0.8,1.05], socs >= 0.65) or the control-normalized arm
         # (sane + socs in [0.8,1.25] + ctrl >= 0.8), so both values ride.
-        "met_raw": [round(r["eff_raw"], 3) for r in met],
+        # Tail-capped at MET_TAIL so the summary stays inside the
+        # driver's capture window as the ledger grows (run 32 pushed the
+        # uncapped form past the 400-byte compactness bound); the counts
+        # above stay exact totals, and the full distribution remains
+        # recomputable via collect() over the committed evidence history.
+        "met_raw": [round(r["eff_raw"], 3) for r in met][-MET_TAIL:],
         "met_ctrl": [round(r["eff_control"], 3)
                      if r["eff_control"] is not None else None
-                     for r in met],
+                     for r in met][-MET_TAIL:],
     }
     best16 = max((r["docs_per_sec_16"] for r in met), default=None)
     if best16 is not None:
@@ -231,7 +240,8 @@ def ledger_summary() -> dict:
     if fallback:
         out["reps_2_8"] = len(fallback)
         out["met_2_8"] = len(met_fb)
-        out["met_2_8_raw"] = [round(r["eff_raw"], 3) for r in met_fb]
+        out["met_2_8_raw"] = [round(r["eff_raw"], 3)
+                              for r in met_fb][-MET_TAIL:]
     return out
 
 
