@@ -822,7 +822,7 @@ def main() -> None:
         # total failure: still emit ONE compact parseable JSON line; the
         # error detail (stderr tails) goes to the sidecar
         repo_root = os.path.dirname(os.path.abspath(__file__))
-        fail_evidence = {"errors": errors, "probes": probes}
+        fail_evidence = {"run_id": run_id, "errors": errors, "probes": probes}
         with open(os.path.join(repo_root, "BENCH_evidence.json"), "w") as f:
             json.dump(fail_evidence, f, indent=2)
         append_evidence_log(repo_root, fail_evidence, run_id)
@@ -866,6 +866,9 @@ def main() -> None:
     evidence_name = "BENCH_evidence.json"
     sanity = rep_sanity(best) if best else None
     evidence = {
+        # same id as this run's BENCH_evidence_log.json entry: the
+        # driver-stable pointer file is traceable to its history record
+        "run_id": run_id,
         "pair_reps_4_16": [rep_view(r) for r in reps_4_16],
         "rep_sanity": [rep_sanity(r) for r in reps_4_16],
         "selected_rep_index": reps_4_16.index(best) if best else None,

@@ -417,16 +417,26 @@ def test_ledger_summary_counts_match_collect():
 
     rows = collect()
     s = ledger_summary()
-    met = [r for r in rows if r["meets_criterion"]]
-    assert s["reps"] == len(rows)
-    assert s["sane"] == sum(1 for r in rows if r["sane"])
+    # the summary keeps the primary 4->16 series and the 2->8 fallback
+    # series separate so neither inflates the other
+    primary = [r for r in rows if r.get("pair", "4,16") == "4,16"]
+    fallback = [r for r in rows if r.get("pair") == "2,8"]
+    met = [r for r in primary if r["meets_criterion"]]
+    assert s["reps"] == len(primary)
+    assert s["sane"] == sum(1 for r in primary if r["sane"])
     assert s["met"] == len(met)
+    if fallback:
+        assert s["reps_2_8"] == len(fallback)
+        assert s["met_2_8"] == sum(
+            1 for r in fallback if r["meets_criterion"]
+        )
     # the arrays are the newest MET_TAIL entries (counts stay exact
     # totals; the full distribution is recomputable via collect())
     assert s["met_raw"] == [round(r["eff_raw"], 3) for r in met][-MET_TAIL:]
     assert len(s["met_ctrl"]) == len(s["met_raw"])
     # criterion-met reps are a subset of sane reps by construction
     assert all(r["sane"] for r in met)
+    assert all(r["sane"] for r in fallback if r["meets_criterion"])
     # and the summary stays compact enough for the driver's capture
     # window no matter how large the ledger grows (tail-capped arrays)
     assert len(json.dumps(s)) < 400
