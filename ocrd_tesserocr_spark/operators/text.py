@@ -189,12 +189,86 @@ FROM q
 """
 
 
+# ---------------------------------------------------------------------------
+# T6 — host-skew profile: the query-level face of the pipeline's salted
+# repartitioning (pipeline.py:35-43).  Per-host page counts, corpus share,
+# skew factor vs a uniform host distribution, and the salt fan-out the
+# pipeline would assign (capped at the partition count).  Hosts derive
+# deterministically from doc_id exactly as corpus.host_for does
+# (corpus.py:101-105), so the DuckDB oracle computes the identical table.
+# Scale shape: one map-side-combined groupBy on host, then the corpus
+# totals reduced to ONE row and broadcast back — never a single-partition
+# window over the host table, which at real Common-Crawl scale holds
+# ~10^8 rows.
+# ---------------------------------------------------------------------------
+def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    host = F.when(
+        F.col("doc_id") % 10 < 3, F.lit("big.example.com")
+    ).otherwise(
+        F.concat(
+            F.lit("host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org"),
+        )
+    )
+    # localCheckpoint: the host aggregate (O(distinct hosts), tiny next to
+    # the corpus) feeds BOTH the output and the totals branch — without it
+    # the totals lineage re-scans the full documents table, i.e. two 100 TB
+    # scans instead of one.
+    agg = (
+        docs.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    totals = agg.agg(
+        F.sum("n_docs").cast("double").alias("_total"),
+        F.count(F.lit(1)).alias("_n_hosts"),
+    )
+    out = agg.crossJoin(F.broadcast(totals))
+    share = F.col("n_docs").cast("double") / F.col("_total")
+    skew = (F.col("n_docs") * F.col("_n_hosts")).cast("double") / F.col("_total")
+    salt = F.least(
+        F.lit(32).cast("long"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil((F.col("n_docs") * F.lit(32)).cast("double") / F.col("_total")),
+        ),
+    )
+    return out.select(
+        "host",
+        "n_docs",
+        F.round(share, 6).alias("share"),
+        F.round(skew, 6).alias("skew"),
+        salt.alias("salt_buckets"),
+    )
+
+
+SQL_HOST_SKEW = """
+WITH h AS (
+  SELECT CASE WHEN doc_id % 10 < 3 THEN 'big.example.com'
+              ELSE 'host' || (doc_id % 7)::VARCHAR || '.example.org'
+         END AS host
+  FROM documents),
+a AS (SELECT host, COUNT(*) AS n_docs FROM h GROUP BY host),
+t AS (SELECT SUM(n_docs)::DOUBLE AS _total, COUNT(*) AS _n_hosts FROM a)
+SELECT host, n_docs,
+       ROUND(n_docs::DOUBLE / _total, 6) AS share,
+       ROUND((n_docs * _n_hosts)::DOUBLE / _total, 6) AS skew,
+       CAST(LEAST(32, GREATEST(1, CEIL((n_docs * 32)::DOUBLE / _total)))
+            AS BIGINT) AS salt_buckets
+FROM a, t
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "curation_verdict": q_curation_verdict,
+    "host_skew": q_host_skew,
 }
 
 ORACLE_SQL = {
@@ -203,4 +277,5 @@ ORACLE_SQL = {
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
     "curation_verdict": SQL_CURATION,
+    "host_skew": SQL_HOST_SKEW,
 }

@@ -632,3 +632,36 @@ def test_embedding_near_dup_plan_caps_before_shuffle(spark):
     assert "row_number" in plan and "128" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_host_skew_profiles_the_salting_target(spark):
+    """host_skew (text.py T6) is the query-level face of the pipeline's
+    salted repartitioning: it must reproduce corpus.host_for's counts
+    exactly and assign the Zipf-head host a larger salt fan-out than any
+    uniform host."""
+    import collections
+
+    from ocrd_tesserocr_spark.corpus import host_for
+    from ocrd_tesserocr_spark.operators.text import q_host_skew
+
+    rows = {r["host"]: r for r in q_host_skew(spark, SF_SMOKE).collect()}
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    truth = collections.Counter(host_for(d) for d in doc_ids)
+    assert set(rows) == set(truth)
+    for h, c in truth.items():
+        assert rows[h]["n_docs"] == c
+    total = sum(truth.values())
+    big = rows["big.example.com"]
+    assert abs(big["share"] - truth["big.example.com"] / total) < 1e-6
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-4
+    assert all(r["salt_buckets"] >= 1 for r in rows.values())
+    assert all(
+        big["salt_buckets"] > r["salt_buckets"]
+        for h, r in rows.items()
+        if h != "big.example.com"
+    )
