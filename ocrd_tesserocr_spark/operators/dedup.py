@@ -567,6 +567,67 @@ SELECT node AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# D7 — duplicated-substring coverage (the exact-substring-dedup signal of
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better"): per document, how much of its shingle set also appears in
+# OTHER documents.  Where the pair operators above answer "which documents
+# duplicate each other", this answers "how much of THIS document is
+# duplicated text" — the per-doc removal/score signal an exact substring
+# deduper thresholds on.
+#
+# Scale shape: NO pair generation anywhere — one groupBy(h) with map-side
+# partial combine for the corpus df table, one equi-join back on h (AQE
+# skew-split handles stopword-trigram hot keys; the join carries a count,
+# never a posting list), one groupBy(doc_id), and a co-partitioned
+# doc_id left join to re-attach zero-shingle docs.  Unlike the pair ops
+# no df cap is needed: per-key work is O(df), not O(df^2).
+# ---------------------------------------------------------------------------
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(_shingle_hashes())).cast("long").alias("n_shingles"),
+    )
+    e = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingle_hashes())).alias("h")
+    )
+    dfc = e.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    dup = (
+        e.join(dfc.where(F.col("df") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_shingles"))
+    )
+    n_dup = F.coalesce(F.col("n_dup_shingles"), F.lit(0).cast("long"))
+    ratio = F.when(
+        F.col("n_shingles") > 0, n_dup / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return counts.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_dup.alias("n_dup_shingles"),
+        F.round(ratio, 6).alias("dup_ratio"),
+    )
+
+
+SQL_DUP_SPAN_COVERAGE = f"""
+WITH hs AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs FROM documents),
+counts AS (SELECT doc_id, len(hs)::BIGINT AS n_shingles FROM hs),
+e AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+dfc AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
+dup AS (
+  SELECT e.doc_id, COUNT(*) AS n_dup_shingles
+  FROM e JOIN dfc ON e.h = dfc.h WHERE dfc.df >= 2 GROUP BY e.doc_id)
+SELECT c.doc_id, c.n_shingles,
+       COALESCE(d.n_dup_shingles, 0) AS n_dup_shingles,
+       ROUND(CASE WHEN c.n_shingles > 0
+                  THEN COALESCE(d.n_dup_shingles, 0)::DOUBLE / c.n_shingles
+                  ELSE 0.0 END, 6) AS dup_ratio
+FROM counts c LEFT JOIN dup d ON c.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
@@ -575,6 +636,7 @@ QUERIES = {
     "ngram_jaccard_stats": q_ngram_jaccard_stats,
     "near_dedup_verified": q_near_dedup_verified,
     "dedup_components": q_dedup_components,
+    "dup_span_coverage": q_dup_span_coverage,
 }
 
 ORACLE_SQL = {
@@ -585,4 +647,5 @@ ORACLE_SQL = {
     "ngram_jaccard_stats": SQL_NGRAM_JACCARD,
     "near_dedup_verified": SQL_NEAR_DEDUP,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "dup_span_coverage": SQL_DUP_SPAN_COVERAGE,
 }

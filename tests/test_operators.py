@@ -665,3 +665,22 @@ def test_host_skew_profiles_the_salting_target(spark):
         for h, r in rows.items()
         if h != "big.example.com"
     )
+
+
+def test_dup_span_coverage_planted(spark, planted):
+    """dup_span_coverage (dedup.py D7): an exact-dup pair must show full
+    duplicated-shingle coverage on both members; the near-dup pair high
+    but partial coverage; every doc gets a row with a ratio in [0, 1]."""
+    from ocrd_tesserocr_spark.operators.dedup import q_dup_span_coverage
+
+    rows = {r["doc_id"]: r for r in q_dup_span_coverage(spark, planted).collect()}
+    n_docs = spark.read.parquet(f"{planted}/documents.parquet").count()
+    assert len(rows) == n_docs
+    # exact pair: every shingle of each member also occurs in the other
+    assert rows[0]["dup_ratio"] == 1.0 and rows[900001]["dup_ratio"] == 1.0
+    # near-dup: one changed word breaks at most 3 trigram shingles per side
+    near = rows[900002]
+    assert near["n_shingles"] > 0
+    assert 0.5 < near["dup_ratio"] < 1.0
+    assert all(0.0 <= r["dup_ratio"] <= 1.0 for r in rows.values())
+    assert all(r["n_dup_shingles"] <= r["n_shingles"] for r in rows.values())
