@@ -9,11 +9,20 @@ from __future__ import annotations
 
 
 def all_queries():
-    from . import dedup, fontshape, glyphs, multimodal, relational, similarity, text
+    from . import (
+        dedup,
+        fontshape,
+        glyphs,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        urls,
+    )
 
     q = {}
     o = {}
-    for mod in (relational, text, dedup, similarity, multimodal, fontshape, glyphs):
+    for mod in (relational, text, dedup, similarity, multimodal, fontshape, glyphs, urls):
         q.update(mod.QUERIES)
         o.update(mod.ORACLE_SQL)
     return q, o

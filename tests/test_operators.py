@@ -684,3 +684,48 @@ def test_dup_span_coverage_planted(spark, planted):
     assert 0.5 < near["dup_ratio"] < 1.0
     assert all(0.0 <= r["dup_ratio"] <= 1.0 for r in rows.values())
     assert all(r["n_dup_shingles"] <= r["n_shingles"] for r in rows.values())
+
+
+def test_url_canonicalize_hand_checked(spark):
+    """canonicalize_url (urls.py): hand-checked forms, including a
+    non-default port that must survive and tracking-only queries that
+    must drop their '?'."""
+    from ocrd_tesserocr_spark.operators.urls import (
+        canonicalize_url,
+        n_stripped_params,
+    )
+
+    cases = [
+        ("HTTP://EXAMPLE.COM:80/a?x=1&utm_source=s#f", "http://example.com/a?x=1", 1),
+        ("https://Example.com:443/p/q?utm_a=1&utm_b=2", "https://example.com/p/q", 2),
+        ("https://example.com:8443/a", "https://example.com:8443/a", 0),
+        ("http://example.com:443/a", "http://example.com:443/a", 0),
+        ("https://example.com/a?gclid=z&fbclid=y&id=3", "https://example.com/a?id=3", 2),
+        ("https://example.com/plain", "https://example.com/plain", 0),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], ["url"])
+    rows = df.select(
+        "url",
+        canonicalize_url(F.col("url")).alias("canon"),
+        n_stripped_params(F.col("url")).alias("n"),
+    ).collect()
+    got = {r["url"]: (r["canon"], r["n"]) for r in rows}
+    for url, want_canon, want_n in cases:
+        assert got[url] == (want_canon, want_n), url
+
+
+def test_url_canonicalize_query_shape(spark):
+    """The query face: every doc gets a row; canonical urls are lowercase
+    scheme/host with no :443, no fragment, no tracking params."""
+    from ocrd_tesserocr_spark.operators.urls import q_url_canonicalize
+
+    rows = q_url_canonicalize(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["canon_url"].startswith("https://")
+        assert ":443" not in r["canon_url"] and "#" not in r["canon_url"]
+        assert "utm_" not in r["canon_url"] and "gclid" not in r["canon_url"]
+        if r["doc_id"] % 3 in (0, 1):
+            assert r["n_stripped_params"] >= 1
+            assert "?id=" in r["canon_url"]
