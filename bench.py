@@ -100,6 +100,11 @@ HEADLINE = [
     "near_dedup_verified",
     "ngram_jaccard_stats",
     "glyph_topk",
+    # round-5 late additions (host-skew salting profile, Lee-et-al
+    # duplicated-substring coverage, canonical-URL dedup key)
+    "host_skew",
+    "dup_span_coverage",
+    "url_canonicalize",
 ]
 
 
