@@ -105,6 +105,7 @@ HEADLINE = [
     "host_skew",
     "dup_span_coverage",
     "url_canonicalize",
+    "pii_scan",
 ]
 
 

@@ -262,6 +262,79 @@ FROM a, t
 """
 
 
+# ---------------------------------------------------------------------------
+# T7 — PII scan: email / IPv4 / phone-shaped counts per document, the
+# redaction-pass precursor every public training-data pipeline runs before
+# release.  Pure JVM regexp_extract_all; the patterns are written to the
+# intersection of Java regex and RE2 (no backreferences, no lookaround) so
+# the DuckDB oracle matches token-for-token.  The query face plants
+# deterministic PII in the document text identically in both engines
+# (1 in 5 docs an email, 1 in 7 an IPv4, 1 in 11 a phone) so the gate
+# proves the scanner on non-zero counts, not an all-zero corpus.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{2} \d{3}-\d{4}"
+
+
+def _planted_pii_text() -> F.Column:
+    did = F.col("doc_id")
+    email = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" contact user"), (did % 100).cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".1")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 11 == 0,
+        F.concat(F.lit(" call +41 555-01"), F.lpad((did % 100).cast("string"), 2, "0")),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, ip, phone)
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = _planted_pii_text()
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), 0)).cast("long")
+    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(_PII_IPV4), 0)).cast("long")
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), 0)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_ipv4 + n_phones) > 0).alias("has_pii"),
+    )
+
+
+SQL_PII_SCAN = r"""
+WITH p AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || (doc_id % 100)::VARCHAR || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+              ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0
+              THEN ' call +41 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+              ELSE '' END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+         len(regexp_extract_all(t, '\+\d{2} \d{3}-\d{4}'))::BIGINT AS n_phones
+  FROM p)
+SELECT doc_id, n_emails, n_ipv4, n_phones,
+       (n_emails + n_ipv4 + n_phones) > 0 AS has_pii
+FROM c
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -269,6 +342,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "curation_verdict": q_curation_verdict,
     "host_skew": q_host_skew,
+    "pii_scan": q_pii_scan,
 }
 
 ORACLE_SQL = {
@@ -278,4 +352,5 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "curation_verdict": SQL_CURATION,
     "host_skew": SQL_HOST_SKEW,
+    "pii_scan": SQL_PII_SCAN,
 }

@@ -729,3 +729,23 @@ def test_url_canonicalize_query_shape(spark):
         if r["doc_id"] % 3 in (0, 1):
             assert r["n_stripped_params"] >= 1
             assert "?id=" in r["canon_url"]
+
+
+def test_pii_scan_finds_planted(spark):
+    """pii_scan (text.py T7): every planted email/IPv4/phone doc is
+    flagged, and the corpus is not all-PII (the plant is 1-in-k)."""
+    from ocrd_tesserocr_spark.operators.text import q_pii_scan
+
+    rows = {r["doc_id"]: r for r in q_pii_scan(spark, SF_SMOKE).collect()}
+    assert rows, "empty result"
+    for did, r in rows.items():
+        if did % 5 == 0:
+            assert r["n_emails"] >= 1, did
+        if did % 7 == 0:
+            assert r["n_ipv4"] >= 1, did
+        if did % 11 == 0:
+            assert r["n_phones"] >= 1, did
+        assert r["has_pii"] == (
+            (r["n_emails"] + r["n_ipv4"] + r["n_phones"]) > 0
+        )
+    assert any(not r["has_pii"] for r in rows.values())
