@@ -106,6 +106,7 @@ HEADLINE = [
     "dup_span_coverage",
     "url_canonicalize",
     "pii_scan",
+    "repetition_stats",
 ]
 
 

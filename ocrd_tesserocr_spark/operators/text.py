@@ -335,6 +335,125 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# T8 — repetition stats (the Gopher/MassiveText repetition filters, Rae et
+# al. 2021 Table A1): fraction of characters covered by the most frequent
+# word 2-gram, and fraction of word-3-gram occurrences that are repeats.
+# Pages dominated by one repeated phrase (nav boilerplate, SEO stuffing)
+# score high and are filtered before training.
+#
+# Scale shape: explode word n-grams -> groupBy(doc_id, gram) with map-side
+# partial combine -> per-doc window for the argmax (partitioned by doc_id,
+# never global) -> co-partitioned doc_id left join to re-attach docs too
+# short to have n-grams.  Ties on the top gram break by gram text so both
+# engines select the same row.
+# ---------------------------------------------------------------------------
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    trigrams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_text_chars"),
+        F.size(trigrams).cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct(trigrams)).cast("long").alias("n_distinct_trigrams"),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    counts = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("bg"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bg").alias("top_bigram"),
+            F.col("cnt").alias("top_bigram_count"),
+        )
+    )
+    out = base.join(top, "doc_id", "left")
+    top_cnt = F.coalesce(F.col("top_bigram_count"), F.lit(0).cast("long"))
+    top_frac = F.when(
+        F.col("n_text_chars") > 0,
+        top_cnt * F.length(F.coalesce(F.col("top_bigram"), F.lit("")))
+        / F.col("n_text_chars"),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("n_trigrams") > 0,
+        (F.col("n_trigrams") - F.col("n_distinct_trigrams")) / F.col("n_trigrams"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+        top_cnt.alias("top_bigram_count"),
+        F.round(top_frac, 6).alias("top_bigram_char_frac"),
+        F.round(dup_frac, 6).alias("dup_trigram_frac"),
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH w AS (
+  SELECT doc_id, text, str_split(text, ' ') AS ws FROM documents),
+base AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_text_chars,
+         CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 0 END::BIGINT AS n_trigrams,
+         CASE WHEN len(ws) >= 3 THEN len(list_distinct(
+           list_transform(generate_series(1, len(ws) - 2),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+              ELSE 0 END::BIGINT AS n_distinct_trigrams
+  FROM w),
+bg AS (
+  SELECT doc_id, unnest(
+    list_transform(generate_series(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM w WHERE len(ws) >= 2),
+counts AS (
+  SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bg),
+top AS (
+  SELECT doc_id, bg AS top_bigram, cnt AS top_bigram_count
+  FROM counts
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, bg ASC) = 1)
+SELECT b.doc_id,
+       COALESCE(t.top_bigram, '') AS top_bigram,
+       COALESCE(t.top_bigram_count, 0)::BIGINT AS top_bigram_count,
+       ROUND(CASE WHEN b.n_text_chars > 0
+                  THEN COALESCE(t.top_bigram_count, 0)
+                       * length(COALESCE(t.top_bigram, ''))::DOUBLE
+                       / b.n_text_chars
+                  ELSE 0.0 END, 6) AS top_bigram_char_frac,
+       ROUND(CASE WHEN b.n_trigrams > 0
+                  THEN (b.n_trigrams - b.n_distinct_trigrams)::DOUBLE
+                       / b.n_trigrams
+                  ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -343,6 +462,7 @@ QUERIES = {
     "curation_verdict": q_curation_verdict,
     "host_skew": q_host_skew,
     "pii_scan": q_pii_scan,
+    "repetition_stats": q_repetition_stats,
 }
 
 ORACLE_SQL = {
@@ -353,4 +473,5 @@ ORACLE_SQL = {
     "curation_verdict": SQL_CURATION,
     "host_skew": SQL_HOST_SKEW,
     "pii_scan": SQL_PII_SCAN,
+    "repetition_stats": SQL_REPETITION_STATS,
 }

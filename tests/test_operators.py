@@ -749,3 +749,47 @@ def test_pii_scan_finds_planted(spark):
             (r["n_emails"] + r["n_ipv4"] + r["n_phones"]) > 0
         )
     assert any(not r["has_pii"] for r in rows.values())
+
+
+def test_repetition_stats_matches_python_recompute(spark):
+    """repetition_stats (text.py T8): exact agreement with a pure-Python
+    recompute (same tie-break: max count, then lexicographically smallest
+    bigram) on a sample, plus range invariants corpus-wide."""
+    import collections
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ocrd_tesserocr_spark.operators.text import q_repetition_stats
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    rows = {r["doc_id"]: r for r in q_repetition_stats(spark, SF_SMOKE).collect()}
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(rows) == len(docs)
+    for d in docs[:25]:
+        ws = d["text"].split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        tgs = [f"{a} {b} {c}" for a, b, c in zip(ws, ws[1:], ws[2:])]
+        got = rows[d["doc_id"]]
+        if bgs:
+            cnt = collections.Counter(bgs)
+            top = min(cnt, key=lambda g: (-cnt[g], g))
+            assert got["top_bigram"] == top
+            assert got["top_bigram_count"] == cnt[top]
+            assert got["top_bigram_char_frac"] == r6(
+                cnt[top] * len(top) / len(d["text"])
+            )
+        else:
+            assert got["top_bigram"] == "" and got["top_bigram_count"] == 0
+        if tgs:
+            assert got["dup_trigram_frac"] == r6(
+                (len(tgs) - len(set(tgs))) / len(tgs)
+            )
+    assert all(
+        0.0 <= r["dup_trigram_frac"] <= 1.0 and r["top_bigram_char_frac"] >= 0.0
+        for r in rows.values()
+    )
