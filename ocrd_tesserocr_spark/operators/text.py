@@ -342,16 +342,23 @@ FROM c
 # Pages dominated by one repeated phrase (nav boilerplate, SEO stuffing)
 # score high and are filtered before training.
 #
-# Scale shape: explode word n-grams -> groupBy(doc_id, gram) with map-side
-# partial combine -> per-doc window for the argmax (partitioned by doc_id,
-# never global) -> co-partitioned doc_id left join to re-attach docs too
-# short to have n-grams.  Ties on the top gram break by gram text so both
-# engines select the same row.
+# Scale shape: ZERO-SHUFFLE.  The per-doc top bigram never leaves its row:
+# sort the bigram array and fold it once (F.aggregate) tracking the longest
+# run of equal adjacent elements — the argmax of a multiset is the longest
+# run of its sorted form.  Strict `>` on the run length keeps the FIRST
+# maximal run, which in a sorted array is the lexicographically smallest
+# gram, reproducing the oracle's `ORDER BY cnt DESC, bg ASC` tie-break.
+# v1 exploded every bigram into a corpus-wide groupBy+window — a shuffle
+# of O(total words) rows that was the suite's heaviest stage; this shape
+# is a narrow projection over the scan.  The one exchange below carries
+# only (doc_id, text) to re-split the sandbox's single-row-group parquet
+# for the CPU-heavy fold (same rationale as dedup._docs); at production
+# scale the scan has thousands of splits and it's droppable.
 # ---------------------------------------------------------------------------
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     bigrams = F.when(
@@ -376,25 +383,53 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    base = docs.select(
+    # longest-run fold over the sorted bigram array: acc = (prev gram,
+    # current run length, best count, best gram).  `x == acc.prev` is null
+    # on the first element (prev starts null) so the run resets to 1.
+    top_struct = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best_cnt"),
+            F.lit(None).cast("string").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                )
+                > acc["best_cnt"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            )
+            .otherwise(acc["best_cnt"])
+            .alias("best_cnt"),
+            F.when(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                )
+                > acc["best_cnt"],
+                x,
+            )
+            .otherwise(acc["best"])
+            .alias("best"),
+        ),
+    )
+
+    out = docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_text_chars"),
         F.size(trigrams).cast("long").alias("n_trigrams"),
         F.size(F.array_distinct(trigrams)).cast("long").alias("n_distinct_trigrams"),
+        top_struct["best"].alias("top_bigram"),
+        top_struct["best_cnt"].alias("top_bigram_count"),
     )
-    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
-    counts = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("bg"))
-    top = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("bg").alias("top_bigram"),
-            F.col("cnt").alias("top_bigram_count"),
-        )
-    )
-    out = base.join(top, "doc_id", "left")
     top_cnt = F.coalesce(F.col("top_bigram_count"), F.lit(0).cast("long"))
     top_frac = F.when(
         F.col("n_text_chars") > 0,
