@@ -34,7 +34,10 @@ def main() -> None:
         q_resume_antijoin,
     )
     from ocrd_tesserocr_spark.operators.similarity import q_ann_ivf, q_cosine_topk
-    from ocrd_tesserocr_spark.operators.text import q_host_skew
+    from ocrd_tesserocr_spark.operators.text import (
+        q_host_skew,
+        q_repetition_stats,
+    )
     from ocrd_tesserocr_spark.pipeline import extract
     from ocrd_tesserocr_spark.session import get_spark
 
@@ -114,6 +117,16 @@ def main() -> None:
             "host table, which holds ~10^8 rows at Common-Crawl scale); "
             "the host aggregate is localCheckpointed so the totals "
             "branch reuses one corpus scan",
+        ),
+        (
+            "Repetition stats (Gopher repetition filters)",
+            q_repetition_stats(spark, SF),
+            "zero-shuffle per-doc argmax: the top bigram is the longest "
+            "run of the row-local sorted bigram array (array_sort + one "
+            "aggregate fold), so no explode/groupBy/window exists and "
+            "nothing scales with corpus word count; the single Exchange "
+            "is the sandbox re-split of a one-row-group parquet "
+            "(droppable at production scale where the scan has splits)",
         ),
     ]
 
