@@ -107,6 +107,7 @@ HEADLINE = [
     "url_canonicalize",
     "pii_scan",
     "repetition_stats",
+    "decontaminate",
 ]
 
 

@@ -793,3 +793,49 @@ def test_repetition_stats_matches_python_recompute(spark):
         0.0 <= r["dup_trigram_frac"] <= 1.0 and r["top_bigram_char_frac"] >= 0.0
         for r in rows.values()
     )
+
+
+def test_decontaminate_matches_python_recompute(spark):
+    """decontaminate (text.py T9): exact agreement with a pure-Python
+    recompute of the 8-gram eval-overlap check, and the stand-in eval
+    docs (doc_id % 50 == 0) must self-flag at contamination 1.0."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ocrd_tesserocr_spark.operators.text import q_decontaminate
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def shingles(text):
+        ws = text.split(" ")
+        return {
+            " ".join(ws[i : i + 8]) for i in range(len(ws) - 7)
+        } if len(ws) >= 8 else set()
+
+    rows = {r["doc_id"]: r for r in q_decontaminate(spark, SF_SMOKE).collect()}
+    docs = {
+        d["doc_id"]: d["text"]
+        for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert len(rows) == len(docs)
+    eval_set = set()
+    for did, text in docs.items():
+        if did % 50 == 0:
+            eval_set |= shingles(text)
+    assert eval_set, "eval stand-in set must be non-empty"
+    for did, text in docs.items():
+        ds = shingles(text)
+        got = rows[did]
+        hits = len(ds & eval_set)
+        assert got["n_shingles"] == len(ds), did
+        assert got["n_contaminated"] == hits, did
+        assert got["contamination_frac"] == (
+            r6(hits / len(ds)) if ds else 0.0
+        ), did
+        assert got["contaminated"] == (hits > 0), did
+        if did % 50 == 0 and ds:
+            assert got["contamination_frac"] == 1.0
+    # the stand-in benchmark must not trivially contaminate everything
+    assert any(not r["contaminated"] for r in rows.values())
