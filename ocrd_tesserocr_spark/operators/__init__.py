@@ -13,6 +13,7 @@ def all_queries():
         dedup,
         fontshape,
         glyphs,
+        linkgraph,
         multimodal,
         relational,
         similarity,
@@ -22,7 +23,17 @@ def all_queries():
 
     q = {}
     o = {}
-    for mod in (relational, text, dedup, similarity, multimodal, fontshape, glyphs, urls):
+    for mod in (
+        relational,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+        fontshape,
+        glyphs,
+        urls,
+        linkgraph,
+    ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLE_SQL)
     return q, o

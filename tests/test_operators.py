@@ -839,3 +839,44 @@ def test_decontaminate_matches_python_recompute(spark):
             assert got["contamination_frac"] == 1.0
     # the stand-in benchmark must not trivially contaminate everything
     assert any(not r["contaminated"] for r in rows.values())
+
+
+def test_anchor_texts_matches_python_recompute(spark):
+    """anchor_texts (linkgraph.py): exact agreement with a pure-Python
+    re.findall recompute of the per-target rollup (total anchors,
+    distinct linking pages, dominant label with (count DESC, anchor ASC)
+    tie-break), cap semantics included."""
+    import collections
+    import re
+
+    from ocrd_tesserocr_spark.corpus import pages_records
+    from ocrd_tesserocr_spark.operators.linkgraph import (
+        ANCHOR_CAP,
+        ANCHOR_RE,
+        q_anchor_texts,
+    )
+
+    rows = {r["href"]: r for r in q_anchor_texts(spark, SF_SMOKE).collect()}
+    totals: collections.Counter = collections.Counter()
+    per_label: collections.Counter = collections.Counter()
+    pages_of: dict[str, set] = collections.defaultdict(set)
+    n_pages_with_anchors = 0
+    for rec in pages_records(SF_SMOKE):
+        html = bytes(rec["html"]).decode("utf-8", errors="replace")
+        pairs = re.findall(ANCHOR_RE, html)[:ANCHOR_CAP]
+        if pairs:
+            n_pages_with_anchors += 1
+        for href, anchor in pairs:
+            totals[href] += 1
+            per_label[(href, anchor)] += 1
+            pages_of[href].add(rec["url"])
+    assert n_pages_with_anchors > 0, "corpus must contain anchors"
+    assert set(rows) == set(totals)
+    for href, n in totals.items():
+        got = rows[href]
+        assert got["n_anchors"] == n, href
+        assert got["n_pages"] == len(pages_of[href]), href
+        labels = {a: c for (h, a), c in per_label.items() if h == href}
+        top = min(labels, key=lambda a: (-labels[a], a))
+        assert got["top_anchor"] == top, href
+        assert got["top_anchor_count"] == labels[top], href
