@@ -29,6 +29,7 @@ def main() -> None:
         q_ngram_jaccard_stats,
     )
     from ocrd_tesserocr_spark.operators.glyphs import q_glyph_topk
+    from ocrd_tesserocr_spark.operators.linkgraph import q_anchor_texts
     from ocrd_tesserocr_spark.operators.relational import (
         q1_pricing_summary,
         q_resume_antijoin,
@@ -117,6 +118,16 @@ def main() -> None:
             "host table, which holds ~10^8 rows at Common-Crawl scale); "
             "the host aggregate is localCheckpointed so the totals "
             "branch reuses one corpus scan",
+        ),
+        (
+            "Anchor-text aggregation (link-graph rollup)",
+            q_anchor_texts(spark, SF),
+            "one corpus scan feeds the checkpointed (href, anchor, url) "
+            "edge table (capped regexp pair-extract, ONE O(edges) "
+            "shuffle with map-side partial agg); both rollup branches "
+            "read the checkpoint, never the corpus — the dominant-anchor "
+            "window plans a map-side WindowGroupLimit and the tiny "
+            "n_pages aggregate broadcasts into the final join",
         ),
         (
             "Repetition stats (Gopher repetition filters)",
