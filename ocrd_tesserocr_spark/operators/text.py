@@ -588,6 +588,181 @@ FROM sh, ev
 """
 
 
+# ---------------------------------------------------------------------------
+# T10 — LM quality score (the CCNet/CC-100 perplexity filter, Wenzek et
+# al. 2020: score every document under a small language model trained on
+# a trusted slice, keep the low-perplexity head).  The sandbox LM is a
+# character-trigram unigram model — deliberately tiny, because the SHAPE
+# is the point: fit on a deterministic 10% slice (its scan filter pushes
+# down, the fit pass never reads the other 90%), reduce to a
+# support-thresholded count table (no global top-V sort — a >= MIN_COUNT
+# filter is per-key, so no single-partition window exists even though a
+# real vocab is ~1M rows), broadcast the model, and score the corpus
+# with one narrow explode -> broadcast-join -> map-side-partial groupBy:
+# the only full-corpus exchange carries O(docs) rows.  This is the same
+# fit-small/broadcast/score-wide shape as decontaminate's eval table and
+# the reference's shared wordlist load (recognize.py:383-402); swapping
+# the trigram table for real KenLM weights changes only the broadcast
+# payload.  OOV trigrams take the 1/total floor probability.
+# ---------------------------------------------------------------------------
+_LM_DOC_CAP = 2000  # chars scored per doc: bounds trigram fanout per row
+_LM_FIT_MOD = 10  # doc_id % 10 == 0 -> the trusted fit + cutoff slice
+_LM_MIN_COUNT = 5  # vocab support threshold (replaces a global top-V sort)
+
+
+def _lm_trigrams(s):
+    n = F.length(s)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: F.substring(s, i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, _LM_DOC_CAP).alias("s")
+    )
+    # fit pass: own scan, slice filter below any exchange (pushdown)
+    fit_occ = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % _LM_FIT_MOD == 0)
+        .select(F.substring("text", 1, _LM_DOC_CAP).alias("s"))
+        .select(F.explode(_lm_trigrams(F.col("s"))).alias("t"))
+    )
+    # localCheckpoint: the O(vocab) count table feeds BOTH the model and
+    # the normalizer — without it each branch re-scans + re-aggregates the
+    # fit slice (host_skew precedent: checkpoint the small aggregate, not
+    # the corpus)
+    cnts = (
+        fit_occ.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    # normalizer = ALL fit-slice occurrences (below-threshold mass stays in
+    # the denominator, so probabilities stay a true distribution + floor)
+    total = cnts.agg(F.sum("cnt").cast("double").alias("total"))
+    model = cnts.where(F.col("cnt") >= _LM_MIN_COUNT)
+    occ = docs.select("doc_id", F.explode_outer(_lm_trigrams(F.col("s"))).alias("t"))
+    p = F.coalesce(F.col("cnt"), F.lit(1)).cast("double") / F.col("total")
+    scored = (
+        occ.join(F.broadcast(model), "t", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("t").cast("long").alias("n_trigrams"),
+            F.sum(
+                F.when(F.col("t").isNotNull() & F.col("cnt").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_oov"),
+            F.avg(F.when(F.col("t").isNotNull(), -F.log(p))).alias("a"),
+        )
+    )
+    score = F.round(F.coalesce(F.col("a"), F.lit(0.0)), 6)
+    scored = scored.select(
+        "doc_id", "n_trigrams", "n_oov", score.alias("avg_neg_logp")
+    )
+    # CCNet head/middle/tail: tertile CUTOFFS estimated on the sample
+    # slice only (the rank window sorts O(sample), never the corpus; a
+    # production run subsamples the slice to a fixed size first), then
+    # broadcast as two scalars.  Ordering on the ROUNDED score with a
+    # doc_id tie-break is deterministic across engines — no float-rank
+    # ambiguity.  The corpus-wide bucket assignment is a narrow map.
+    from pyspark.sql import Window
+
+    sample = scored.where(
+        (F.col("doc_id") % _LM_FIT_MOD == 0) & (F.col("n_trigrams") > 0)
+    ).select("doc_id", F.col("avg_neg_logp").alias("s"))
+    wr = Window.orderBy(F.col("s").asc(), F.col("doc_id").asc())
+    ranked = sample.select(
+        "s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(
+            wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    cuts = ranked.agg(
+        F.min(F.when(F.col("rn") == F.ceil(F.col("n") / 3.0), F.col("s"))).alias(
+            "c1"
+        ),
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 2 / 3.0), F.col("s"))
+        ).alias("c2"),
+    )
+    out = scored.crossJoin(F.broadcast(cuts))
+    bucket = (
+        F.when(F.col("n_trigrams") == 0, F.lit("tail"))
+        .when(F.col("avg_neg_logp") <= F.col("c1"), F.lit("head"))
+        .when(F.col("avg_neg_logp") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(
+        "doc_id",
+        "n_trigrams",
+        "n_oov",
+        "avg_neg_logp",
+        bucket.alias("lm_bucket"),
+        (bucket != "tail").alias("lm_keep"),
+    )
+
+
+SQL_LM_SCORE = f"""
+WITH s AS (
+  SELECT doc_id, substr(text, 1, {_LM_DOC_CAP}) AS s FROM documents),
+tg AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 3 THEN
+           list_transform(generate_series(1, length(s) - 2),
+                          i -> substr(s, i, 3))
+         ELSE []::VARCHAR[] END AS ts
+  FROM s),
+fit AS (
+  SELECT unnest(ts) AS t FROM tg WHERE doc_id % {_LM_FIT_MOD} = 0),
+cnts AS (
+  SELECT t, COUNT(*) AS cnt FROM fit GROUP BY t),
+tot AS (
+  SELECT SUM(cnt)::DOUBLE AS total FROM cnts),
+model AS (
+  SELECT t, cnt FROM cnts WHERE cnt >= {_LM_MIN_COUNT}),
+occ AS (
+  SELECT doc_id, unnest(ts) AS t FROM tg),
+scored AS (
+  SELECT o.doc_id,
+         COUNT(*)::BIGINT AS n_trigrams,
+         SUM(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         AVG(-ln(COALESCE(m.cnt, 1)::DOUBLE / total)) AS a
+  FROM occ o LEFT JOIN model m ON o.t = m.t, tot
+  GROUP BY o.doc_id),
+final AS (
+  SELECT d.doc_id,
+         COALESCE(sc.n_trigrams, 0)::BIGINT AS n_trigrams,
+         COALESCE(sc.n_oov, 0)::BIGINT AS n_oov,
+         ROUND(COALESCE(sc.a, 0.0), 6) AS avg_neg_logp
+  FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id),
+ranked AS (
+  SELECT avg_neg_logp AS s,
+         ROW_NUMBER() OVER (ORDER BY avg_neg_logp ASC, doc_id ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM final WHERE doc_id % {_LM_FIT_MOD} = 0 AND n_trigrams > 0),
+cuts AS (
+  SELECT MIN(CASE WHEN rn = CEIL(n / 3.0) THEN s END) AS c1,
+         MIN(CASE WHEN rn = CEIL(n * 2 / 3.0) THEN s END) AS c2
+  FROM ranked)
+SELECT f.doc_id, f.n_trigrams, f.n_oov, f.avg_neg_logp,
+       CASE WHEN f.n_trigrams = 0 THEN 'tail'
+            WHEN f.avg_neg_logp <= c.c1 THEN 'head'
+            WHEN f.avg_neg_logp <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS lm_bucket,
+       CASE WHEN f.n_trigrams = 0 THEN 'tail'
+            WHEN f.avg_neg_logp <= c.c1 THEN 'head'
+            WHEN f.avg_neg_logp <= c.c2 THEN 'middle'
+            ELSE 'tail' END <> 'tail' AS lm_keep
+FROM final f, cuts c
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -598,6 +773,7 @@ QUERIES = {
     "pii_scan": q_pii_scan,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
+    "lm_score": q_lm_score,
 }
 
 ORACLE_SQL = {
@@ -610,4 +786,5 @@ ORACLE_SQL = {
     "pii_scan": SQL_PII_SCAN,
     "repetition_stats": SQL_REPETITION_STATS,
     "decontaminate": SQL_DECONTAMINATE,
+    "lm_score": SQL_LM_SCORE,
 }

@@ -880,3 +880,81 @@ def test_anchor_texts_matches_python_recompute(spark):
         top = min(labels, key=lambda a: (-labels[a], a))
         assert got["top_anchor"] == top, href
         assert got["top_anchor_count"] == labels[top], href
+
+
+def test_lm_score_matches_python_recompute(spark):
+    """lm_score (text.py T10): exact agreement with a pure-Python
+    recompute of the char-trigram LM fit (10% slice, support >= 5,
+    1/total OOV floor), the per-doc average negative log-probability,
+    and the CCNet head/middle/tail tertile bucketing with cutoffs
+    estimated on the sample slice."""
+    import collections
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ocrd_tesserocr_spark.operators.text import (
+        _LM_DOC_CAP,
+        _LM_FIT_MOD,
+        _LM_MIN_COUNT,
+        q_lm_score,
+    )
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def trigrams(text):
+        s = text[:_LM_DOC_CAP]
+        return [s[i : i + 3] for i in range(len(s) - 2)] if len(s) >= 3 else []
+
+    docs = {
+        d["doc_id"]: d["text"]
+        for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    fit = collections.Counter()
+    for did, text in docs.items():
+        if did % _LM_FIT_MOD == 0:
+            fit.update(trigrams(text))
+    total = float(sum(fit.values()))
+    model = {t: c for t, c in fit.items() if c >= _LM_MIN_COUNT}
+    assert model and total > 0
+
+    def score(text):
+        ts = trigrams(text)
+        if not ts:
+            return 0.0
+        return r6(sum(-math.log(model.get(t, 1) / total) for t in ts) / len(ts))
+
+    sample = sorted(
+        (score(t), d)
+        for d, t in docs.items()
+        if d % _LM_FIT_MOD == 0 and trigrams(t)
+    )
+    n = len(sample)
+    c1 = sample[math.ceil(n / 3.0) - 1][0]
+    c2 = sample[math.ceil(n * 2 / 3.0) - 1][0]
+
+    rows = {r["doc_id"]: r for r in q_lm_score(spark, SF_SMOKE).collect()}
+    assert len(rows) == len(docs)
+    buckets = collections.Counter()
+    for did, text in docs.items():
+        ts = trigrams(text)
+        got = rows[did]
+        assert got["n_trigrams"] == len(ts), did
+        assert got["n_oov"] == sum(1 for t in ts if t not in model), did
+        s = score(text)
+        assert abs(got["avg_neg_logp"] - s) <= 1e-6, did
+        if not ts:
+            exp = "tail"
+        elif s <= c1:
+            exp = "head"
+        elif s <= c2:
+            exp = "middle"
+        else:
+            exp = "tail"
+        assert got["lm_bucket"] == exp, did
+        assert got["lm_keep"] == (exp != "tail"), did
+        buckets[exp] += 1
+    # tertile cutoffs must split the corpus into three populated buckets
+    assert all(buckets[b] > 0 for b in ("head", "middle", "tail")), buckets
