@@ -108,6 +108,7 @@ HEADLINE = [
     "pii_scan",
     "repetition_stats",
     "decontaminate",
+    "lm_score",
 ]
 
 
