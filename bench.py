@@ -109,6 +109,7 @@ HEADLINE = [
     "repetition_stats",
     "decontaminate",
     "lm_score",
+    "mix_weights",
 ]
 
 

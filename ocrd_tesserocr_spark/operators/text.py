@@ -763,6 +763,79 @@ FROM final f, cuts c
 """
 
 
+# ---------------------------------------------------------------------------
+# T11 — temperature-based language mixing weights (training-data mixing)
+# ---------------------------------------------------------------------------
+#: modulus for the per-doc deterministic sampling draw: 6 decimal digits of
+#: hash → uniform fraction in [0, 1) with 1e-6 granularity.
+_MIX_MOD = 1_000_000
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (T = 2, i.e. rate ∝ n^-1/2,
+    normalized to the smallest language): the data-mixing step a
+    multilingual training pipeline runs after language-ID.
+
+    Per language l with n_l docs, ``sample_rate_l = sqrt(n_min / n_l)``
+    — the expected kept count is sqrt(n_min · n_l), exactly the α = 0.5
+    temperature rebalance of mT5/XLM-R, anchored so the smallest
+    language is kept whole.  The keep decision is a deterministic
+    per-doc hash draw (shared md5/xxhash64 layer), so the sample is
+    reproducible across runs, engines, and partitionings.
+
+    Analogue in the reference: per-segment model *selection* by ranked
+    confidence (recognize.py:372-395 auto_model argmax); here the
+    corpus-level analogue selects per-language retention by ranked
+    abundance.
+
+    Scale: one tiny groupBy (|langs| rows), an unpartitioned window over
+    that post-agg table only, a broadcast join back, then a narrow map —
+    zero corpus-wide shuffles beyond the count.  Cross-engine parity
+    uses only count, min, division and sqrt — all exactly-rounded IEEE
+    ops, so no pow/sum-order divergence risk (similarity.py k-means
+    note).
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs_lang"))
+    # unpartitioned window is safe HERE ONLY: it runs on the post-agg
+    # table, whose row count is the number of distinct languages
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts = counts.withColumn("n_min", F.min("n_docs_lang").over(w_all))
+    rate = F.sqrt(F.col("n_min") / F.col("n_docs_lang"))
+    counts = counts.select("lang", "n_docs_lang", rate.alias("rate"))
+    frac = hash_mod(
+        F.concat(F.lit("mix|"), F.col("doc_id").cast("string")), _MIX_MOD
+    ) / F.lit(float(_MIX_MOD))
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_docs_lang",
+            F.round(F.col("rate"), 6).alias("sample_rate"),
+            (frac < F.col("rate")).alias("keep"),
+        )
+    )
+
+
+SQL_MIX_WEIGHTS = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*)::BIGINT AS n_docs_lang FROM documents GROUP BY lang),
+m AS (SELECT MIN(n_docs_lang) AS n_min FROM counts),
+r AS (
+  SELECT lang, n_docs_lang,
+         sqrt(n_min::DOUBLE / n_docs_lang) AS rate
+  FROM counts, m)
+SELECT d.doc_id, d.lang, r.n_docs_lang,
+       ROUND(r.rate, 6) AS sample_rate,
+       ({sql_md5_mod("'mix|' || d.doc_id", _MIX_MOD)}::DOUBLE
+        / {float(_MIX_MOD)}) < r.rate AS keep
+FROM documents d JOIN r USING (lang)
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -774,6 +847,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "lm_score": q_lm_score,
+    "mix_weights": q_mix_weights,
 }
 
 ORACLE_SQL = {
@@ -787,4 +861,5 @@ ORACLE_SQL = {
     "repetition_stats": SQL_REPETITION_STATS,
     "decontaminate": SQL_DECONTAMINATE,
     "lm_score": SQL_LM_SCORE,
+    "mix_weights": SQL_MIX_WEIGHTS,
 }

@@ -958,3 +958,51 @@ def test_lm_score_matches_python_recompute(spark):
         buckets[exp] += 1
     # tertile cutoffs must split the corpus into three populated buckets
     assert all(buckets[b] > 0 for b in ("head", "middle", "tail")), buckets
+
+
+def test_mix_weights_matches_python_recompute(spark):
+    """mix_weights (text.py T11): exact agreement with a pure-Python
+    recompute of the T=2 temperature rates (sqrt(n_min/n_l), smallest
+    language kept whole) and the deterministic md5 sampling draw."""
+    import collections
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ocrd_tesserocr_spark.operators.text import _MIX_MOD, q_mix_weights
+
+    langs = {
+        d["doc_id"]: d["lang"]
+        for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    counts = collections.Counter(langs.values())
+    n_min = min(counts.values())
+
+    def draw(doc_id):
+        h = int(hashlib.md5(f"mix|{doc_id}".encode()).hexdigest()[:15], 16)
+        return (h % _MIX_MOD) / float(_MIX_MOD)
+
+    rows = {r["doc_id"]: r for r in q_mix_weights(spark, SF_SMOKE).collect()}
+    assert len(rows) == len(langs)
+    kept = collections.Counter()
+    for did, lang in langs.items():
+        got = rows[did]
+        rate = math.sqrt(n_min / counts[lang])
+        assert got["lang"] == lang and got["n_docs_lang"] == counts[lang], did
+        exp_rate = float(
+            Decimal(repr(rate)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+        assert abs(got["sample_rate"] - exp_rate) <= 1e-9, did
+        assert got["keep"] == (draw(did) < rate), did
+        kept[lang] += got["keep"]
+    # the smallest language is kept whole (rate exactly 1.0: every
+    # hash fraction < 1.0), and the expected kept count per language
+    # is sqrt(n_min * n_l) -- check within 5 sigma of the binomial
+    smallest = min(counts, key=lambda l: (counts[l], l))
+    assert kept[smallest] == counts[smallest]
+    for lang, n in counts.items():
+        exp = math.sqrt(n_min * n)
+        sigma = math.sqrt(max(exp * (1 - math.sqrt(n_min / n)), 1.0))
+        assert abs(kept[lang] - exp) <= 5 * sigma, (lang, kept[lang], exp)
