@@ -110,6 +110,7 @@ HEADLINE = [
     "decontaminate",
     "lm_score",
     "mix_weights",
+    "pack_sequences",
 ]
 
 

@@ -836,6 +836,93 @@ FROM documents d JOIN r USING (lang)
 """
 
 
+# ---------------------------------------------------------------------------
+# T12 — sequence packing (concat-then-chunk training-example layout)
+# ---------------------------------------------------------------------------
+#: training context length for the packing layout
+_PACK_SEQ_LEN = 512
+#: packing buckets: packing is bucket-local, so buckets are the unit of
+#: parallelism (production: ~executor-slots × small k; 8 here so every
+#: bucket is populated at sf0.001's 500 docs)
+_PACK_BUCKETS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing: within a bucket,
+    documents are concatenated in doc_id order and the token stream is
+    chunked into fixed ``_PACK_SEQ_LEN`` windows; each doc reports the
+    training sequence and offset where it starts and how many sequences
+    it spans — the layout step every LLM training pipeline runs last.
+
+    Packing is inherently order-dependent, so it is made *bucket-local*:
+    a deterministic hash assigns each doc to one of ``_PACK_BUCKETS``
+    streams and the running token count is a window partitioned by
+    bucket.  That is exactly how production packers shard (one stream
+    per writer task) — the shuffle is one O(docs) hash exchange and the
+    per-bucket sort is the unavoidable price of a deterministic layout;
+    no global ordering exists anywhere.  All arithmetic is exact int64
+    (token counts, cumulative sums, floor-div), so DuckDB parity is
+    bit-exact with no float involvement.
+
+    Analogue in the reference: the reading-order concat that assembles
+    page text from ordered segments (recognize.py:986-1004); here the
+    corpus-level analogue assembles fixed-length training sequences
+    from ordered documents.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    bucket = hash_mod(
+        F.concat(F.lit("pack|"), F.col("doc_id").cast("string")), _PACK_BUCKETS
+    )
+    base = docs.select(
+        "doc_id", tokens.alias("n_tokens"), bucket.alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("tok_start")
+    out = base.select("doc_id", "bucket", "n_tokens", cum.alias("cum"), start)
+    # integer DIV keeps the whole operator in exact int64 — no float
+    # division even at 10^14-token cumulative counts (beyond double's
+    # 2^53 integer range)
+    s = _PACK_SEQ_LEN
+    return out.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.expr(f"tok_start DIV {s}").alias("seq_index"),
+        (F.col("tok_start") % F.lit(s)).alias("seq_offset"),
+        F.expr(f"(cum - 1) DIV {s} - tok_start DIV {s} + 1").alias(
+            "n_seqs_spanned"
+        ),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(str_split(text, ' '))::BIGINT AS n_tokens,
+         {sql_md5_mod("'pack|' || doc_id", _PACK_BUCKETS)} AS bucket
+  FROM documents),
+runs AS (
+  SELECT doc_id, bucket, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base)
+SELECT doc_id, bucket, n_tokens,
+       ((cum - n_tokens) // {_PACK_SEQ_LEN})::BIGINT AS seq_index,
+       ((cum - n_tokens) % {_PACK_SEQ_LEN})::BIGINT AS seq_offset,
+       (((cum - 1) // {_PACK_SEQ_LEN}) - ((cum - n_tokens) // {_PACK_SEQ_LEN})
+        + 1)::BIGINT AS n_seqs_spanned
+FROM runs
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -848,6 +935,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "lm_score": q_lm_score,
     "mix_weights": q_mix_weights,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -862,4 +950,5 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "lm_score": SQL_LM_SCORE,
     "mix_weights": SQL_MIX_WEIGHTS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

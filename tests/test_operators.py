@@ -1006,3 +1006,69 @@ def test_mix_weights_matches_python_recompute(spark):
         exp = math.sqrt(n_min * n)
         sigma = math.sqrt(max(exp * (1 - math.sqrt(n_min / n)), 1.0))
         assert abs(kept[lang] - exp) <= 5 * sigma, (lang, kept[lang], exp)
+
+
+def test_pack_sequences_matches_python_recompute(spark):
+    """pack_sequences (text.py T12): exact agreement with a pure-Python
+    recompute of the bucket-local concat-then-chunk layout (md5 bucket
+    assignment, doc_id-ordered cumulative token count, SEQ_LEN chunk
+    grid), plus layout invariants: within a bucket the token stream is
+    gapless and every doc's span arithmetic is consistent."""
+    import collections
+    import hashlib
+
+    from ocrd_tesserocr_spark.operators.text import (
+        _PACK_BUCKETS,
+        _PACK_SEQ_LEN,
+        q_pack_sequences,
+    )
+
+    docs = {
+        d["doc_id"]: len(d["text"].split(" "))
+        for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def bucket(doc_id):
+        h = int(hashlib.md5(f"pack|{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % _PACK_BUCKETS
+
+    streams = collections.defaultdict(list)
+    for did in sorted(docs):
+        streams[bucket(did)].append(did)
+    expected = {}
+    for b, dids in streams.items():
+        cum = 0
+        for did in dids:
+            n = docs[did]
+            start = cum
+            cum += n
+            expected[did] = (
+                b,
+                n,
+                start // _PACK_SEQ_LEN,
+                start % _PACK_SEQ_LEN,
+                (cum - 1) // _PACK_SEQ_LEN - start // _PACK_SEQ_LEN + 1,
+            )
+
+    rows = {r["doc_id"]: r for r in q_pack_sequences(spark, SF_SMOKE).collect()}
+    assert len(rows) == len(docs)
+    assert len(streams) == _PACK_BUCKETS  # every bucket populated at sf0.001
+    for did, (b, n, seq_i, off, spanned) in expected.items():
+        got = rows[did]
+        assert (
+            got["bucket"],
+            got["n_tokens"],
+            got["seq_index"],
+            got["seq_offset"],
+            got["n_seqs_spanned"],
+        ) == (b, n, seq_i, off, spanned), did
+    # gaplessness: per bucket, total tokens == last doc's end position
+    for b, dids in streams.items():
+        total = sum(docs[d] for d in dids)
+        last = rows[dids[-1]]
+        assert (
+            last["seq_index"] * _PACK_SEQ_LEN + last["seq_offset"]
+            + last["n_tokens"] == total
+        )
