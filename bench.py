@@ -111,6 +111,7 @@ HEADLINE = [
     "lm_score",
     "mix_weights",
     "pack_sequences",
+    "paragraph_dedup",
 ]
 
 

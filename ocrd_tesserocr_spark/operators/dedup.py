@@ -628,6 +628,105 @@ FROM counts c LEFT JOIN dup d ON c.doc_id = d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# D8 — paragraph-level exact dedup (CCNet-style line dedup; Wenzek et al.
+# 2020 remove duplicated lines BEFORE document-level dedup, and FineWeb
+# keeps the same stage).  The corpus text has no newline structure, so the
+# segmenter is a deterministic fixed-width word grid (_PARA_W words per
+# segment) — the corpus-level analogue of the reference's fixed-grid line
+# segmentation inside a region (segment_line splitting in
+# /root/reference/ocrd_tesserocr/recognize.py:701-741): split, identify,
+# keep first occurrence, reassemble in reading order.
+#
+# Scale shape: NO pair generation and NO windows over the hash key.  The
+# global first-occurrence winner is a groupBy(h) arg-min carried as a
+# single (doc_id, pos) struct — map-side partial combine collapses every
+# mapper's copies of a hot boilerplate segment to ONE row before the
+# shuffle, so the classic hot-line skew (cookie banners, nav text) never
+# concentrates on a reducer.  Then one equi-join back on h (AQE
+# skew-split) and one groupBy(doc_id) whose order-guaranteed concat is
+# the same sort-within-group shape as agg_concat_reading_order.  All
+# shuffles are O(segments); per-key state is one struct, so no cap is
+# needed.
+# ---------------------------------------------------------------------------
+_PARA_W = 8  # words per pseudo-paragraph segment
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = _PARA_W
+    words = F.split(F.col("text"), " ")
+    n_segs = F.expr(f"(size(split(text, ' ')) + {w - 1}) DIV {w}")
+    segs_arr = F.transform(
+        F.sequence(F.lit(0).cast("int"), (n_segs - 1).cast("int")),
+        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+    )
+    segs = docs.select(
+        "doc_id", F.posexplode(segs_arr).alias("pos", "seg")
+    ).withColumn("h", hash_long(F.concat(F.lit("para|"), F.col("seg"))))
+    keepers = segs.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k")
+    )
+    j = segs.join(keepers, "h").select(
+        "doc_id",
+        "pos",
+        "seg",
+        (
+            (F.col("doc_id") == F.col("k.doc_id"))
+            & (F.col("pos") == F.col("k.pos"))
+        ).alias("kept"),
+    )
+    out = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("pos", "seg"))
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    ratio = (F.col("n_segments") - F.col("n_kept")) / F.col("n_segments")
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "n_kept",
+        F.round(ratio, 6).alias("dup_ratio"),
+        "dedup_text",
+    )
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[(i * {_PARA_W} + 1):(i * {_PARA_W} + {_PARA_W})], ' ') AS seg
+  FROM w, UNNEST(range((len(words) + {_PARA_W - 1}) // {_PARA_W})) AS t(i)),
+hs AS (
+  SELECT doc_id, pos, seg, {sql_md5_long("'para|' || seg")} AS h FROM segs),
+k AS (
+  SELECT h, MIN(struct_pack(d := doc_id, p := pos)) AS k FROM hs GROUP BY h),
+j AS (
+  SELECT hs.doc_id, hs.pos, hs.seg,
+         (hs.doc_id = k.k.d AND hs.pos = k.k.p) AS kept
+  FROM hs JOIN k USING (h))
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       SUM(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       ROUND((COUNT(*) - SUM(CASE WHEN kept THEN 1 ELSE 0 END))::DOUBLE
+             / COUNT(*), 6) AS dup_ratio,
+       COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE kept), '')
+         AS dedup_text
+FROM j GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
@@ -637,6 +736,7 @@ QUERIES = {
     "near_dedup_verified": q_near_dedup_verified,
     "dedup_components": q_dedup_components,
     "dup_span_coverage": q_dup_span_coverage,
+    "paragraph_dedup": q_paragraph_dedup,
 }
 
 ORACLE_SQL = {
@@ -648,4 +748,5 @@ ORACLE_SQL = {
     "near_dedup_verified": SQL_NEAR_DEDUP,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dup_span_coverage": SQL_DUP_SPAN_COVERAGE,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
 }

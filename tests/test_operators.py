@@ -686,6 +686,45 @@ def test_dup_span_coverage_planted(spark, planted):
     assert all(r["n_dup_shingles"] <= r["n_shingles"] for r in rows.values())
 
 
+def test_paragraph_dedup_matches_python_recompute(spark, planted):
+    """paragraph_dedup (dedup.py D8): exact agreement with a pure-Python
+    first-occurrence recompute over the planted corpus — segmentation
+    grid, keeper choice (lexicographic (doc_id, pos) min), counts, and
+    the reassembled deduplicated text; the planted exact copy must lose
+    every segment to its lower-doc_id original."""
+    from ocrd_tesserocr_spark.operators.dedup import _PARA_W, q_paragraph_dedup
+
+    docs = pd.read_parquet(planted + "/documents.parquet")
+    first: dict[str, tuple[int, int]] = {}
+    segs_by_doc: dict[int, list[str]] = {}
+    for r in docs.sort_values("doc_id").itertuples():
+        words = r.text.split(" ")
+        n = (len(words) + _PARA_W - 1) // _PARA_W
+        segs = [
+            " ".join(words[i * _PARA_W : (i + 1) * _PARA_W]) for i in range(n)
+        ]
+        segs_by_doc[r.doc_id] = segs
+        for pos, s in enumerate(segs):
+            first.setdefault(s, (r.doc_id, pos))
+    rows = {r["doc_id"]: r for r in q_paragraph_dedup(spark, planted).collect()}
+    assert set(rows) == set(segs_by_doc)
+    for doc_id, segs in segs_by_doc.items():
+        kept = [
+            s for pos, s in enumerate(segs) if first[s] == (doc_id, pos)
+        ]
+        got = rows[doc_id]
+        assert got["n_segments"] == len(segs)
+        assert got["n_kept"] == len(kept)
+        assert got["dedup_text"] == " ".join(kept)
+        assert got["dup_ratio"] == round(
+            (len(segs) - len(kept)) / len(segs), 6
+        )
+    # the exact copy of doc 0 arrives second: zero kept segments
+    assert rows[900001]["n_kept"] == 0
+    assert rows[900001]["dup_ratio"] == 1.0
+    assert rows[900001]["dedup_text"] == ""
+
+
 def test_url_canonicalize_hand_checked(spark):
     """canonicalize_url (urls.py): hand-checked forms, including a
     non-default port that must survive and tracking-only queries that
