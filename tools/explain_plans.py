@@ -27,6 +27,7 @@ def main() -> None:
         q_dup_span_coverage,
         q_lsh_pairs,
         q_ngram_jaccard_stats,
+        q_paragraph_dedup,
     )
     from ocrd_tesserocr_spark.operators.glyphs import q_glyph_topk
     from ocrd_tesserocr_spark.operators.linkgraph import q_anchor_texts
@@ -138,6 +139,19 @@ def main() -> None:
             "nothing scales with corpus word count; the single Exchange "
             "is the sandbox re-split of a one-row-group parquet "
             "(droppable at production scale where the scan has splits)",
+        ),
+        (
+            "Paragraph-level exact dedup (CCNet line-dedup stage)",
+            q_paragraph_dedup(spark, SF),
+            "global first-occurrence keeper is a groupBy(h) min(struct) "
+            "planned as a TWO-LEVEL aggregate (SortAggregate because the "
+            "min carries a struct): the map-side partial min collapses "
+            "every mapper's copies of a hot boilerplate segment to one "
+            "row before the Exchange, so no window over the hash key "
+            "exists anywhere; one equi-join back on h (AQE broadcasts "
+            "the keeper side here; shuffle + skew-split at production "
+            "scale) and one groupBy(doc_id) whose sorted-collect concat "
+            "reassembles the deduplicated text",
         ),
     ]
 
