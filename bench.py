@@ -112,6 +112,7 @@ HEADLINE = [
     "mix_weights",
     "pack_sequences",
     "paragraph_dedup",
+    "gopher_rules",
 ]
 
 

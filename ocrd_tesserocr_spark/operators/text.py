@@ -923,6 +923,102 @@ FROM runs
 """
 
 
+# ---------------------------------------------------------------------------
+# T13 — Gopher quality rules (Rae et al. 2021 §A1.1): the named
+# threshold filters every large-scale webtext pipeline runs before
+# training — word-count bounds, mean-word-length band, alphabetic-word
+# fraction, and stopword presence — emitted as PER-RULE booleans plus the
+# overall verdict, so downstream can audit WHICH rule dropped a document
+# (the quality_score operator above gives a blended score; this is the
+# hard gate).  Thresholds follow the paper where the corpus carries the
+# signal (3 <= mean word length <= 10, >= 0.8 alphabetic-word fraction,
+# >= 2 distinct stopwords) with the word-count band adapted to the
+# synthetic corpus scale.
+#
+# Scale shape: a pure narrow map — every rule is a JVM higher-order
+# array expression over the row's own words, no shuffle, no UDF; the
+# filter composes with any downstream operator without repartitioning.
+# Analogue in the reference: the confidence/size gates that drop
+# degenerate segments before recognition (recognize.py:1007-1029,
+# segment_region size filters).
+# ---------------------------------------------------------------------------
+_GOPHER_MIN_WORDS = 15
+_GOPHER_MAX_WORDS = 100000
+_GOPHER_MIN_MEAN_LEN = 3.0
+_GOPHER_MAX_MEAN_LEN = 10.0
+_GOPHER_MIN_ALPHA_FRAC = 0.8
+_GOPHER_MIN_STOPWORDS = 2
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    n_safe = F.greatest(n, F.lit(1))
+    char_sum = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w),
+    )
+    mean_len = char_sum / n_safe
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_safe
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    )
+    r_words = (n >= _GOPHER_MIN_WORDS) & (n <= _GOPHER_MAX_WORDS)
+    r_mean = (mean_len >= _GOPHER_MIN_MEAN_LEN) & (
+        mean_len <= _GOPHER_MAX_MEAN_LEN
+    )
+    r_alpha = alpha_frac >= _GOPHER_MIN_ALPHA_FRAC
+    r_stop = n_stop >= _GOPHER_MIN_STOPWORDS
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.alias("n_distinct_stopwords"),
+        r_words.alias("rule_word_count"),
+        r_mean.alias("rule_mean_len"),
+        r_alpha.alias("rule_alpha"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_mean & r_alpha & r_stop).alias("pass_gopher"),
+    )
+
+
+SQL_GOPHER_RULES = f"""
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         list_sum(list_transform(words, x -> length(x)))::DOUBLE
+           / GREATEST(len(words), 1) AS mean_word_len,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / GREATEST(len(words), 1) AS alpha_frac,
+         len(list_distinct(list_filter(words,
+             x -> x IN ('the','a','of','and','to')))) AS n_distinct_stopwords
+  FROM w)
+SELECT doc_id, n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(alpha_frac, 6) AS alpha_frac,
+       n_distinct_stopwords,
+       (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS})
+         AS rule_word_count,
+       (mean_word_len >= {_GOPHER_MIN_MEAN_LEN}
+        AND mean_word_len <= {_GOPHER_MAX_MEAN_LEN}) AS rule_mean_len,
+       (alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}) AS rule_alpha,
+       (n_distinct_stopwords >= {_GOPHER_MIN_STOPWORDS}) AS rule_stopwords,
+       (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS}
+        AND mean_word_len >= {_GOPHER_MIN_MEAN_LEN}
+        AND mean_word_len <= {_GOPHER_MAX_MEAN_LEN}
+        AND alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}
+        AND n_distinct_stopwords >= {_GOPHER_MIN_STOPWORDS}) AS pass_gopher
+FROM m
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -936,6 +1032,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "mix_weights": q_mix_weights,
     "pack_sequences": q_pack_sequences,
+    "gopher_rules": q_gopher_rules,
 }
 
 ORACLE_SQL = {
@@ -951,4 +1048,5 @@ ORACLE_SQL = {
     "lm_score": SQL_LM_SCORE,
     "mix_weights": SQL_MIX_WEIGHTS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "gopher_rules": SQL_GOPHER_RULES,
 }

@@ -725,6 +725,75 @@ def test_paragraph_dedup_matches_python_recompute(spark, planted):
     assert rows[900001]["dedup_text"] == ""
 
 
+def test_gopher_rules_planted_violations(spark, tmp_path):
+    """gopher_rules (text.py T13): each rule must fire on a document
+    planted to violate exactly it, the composite verdict must be the AND
+    of the flags, and every numeric column must agree with a pure-Python
+    recompute."""
+    from ocrd_tesserocr_spark.operators.text import (
+        _GOPHER_MIN_ALPHA_FRAC,
+        _GOPHER_MIN_MEAN_LEN,
+        _GOPHER_MIN_STOPWORDS,
+        _GOPHER_MIN_WORDS,
+        _STOPWORDS,
+        q_gopher_rules,
+    )
+
+    rows = [
+        # 1: healthy doc — passes everything
+        (1, "the quick brown fox jumps over a lazy dog and then runs "
+            "far away to the old barn gate", "en", "web"),
+        # 2: too short (also too few stopwords)
+        (2, "tiny doc here", "en", "web"),
+        # 3: mean word length over 10
+        (3, " ".join(["pneumonoultramicroscopic"] * 20), "en", "web"),
+        # 4: numeric tokens — alpha fraction 0 and mean length under 3
+        (4, " ".join(str(i) for i in range(30)), "en", "web"),
+        # 5: long and alphabetic but only one distinct stopword
+        (5, "the " + " ".join(["word"] * 30), "en", "web"),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]
+    )
+    df["n_chars"] = df["text"].str.len()
+    out = str(tmp_path / "gopher")
+    os.makedirs(out)
+    df.to_parquet(out + "/documents.parquet")
+
+    got = {r["doc_id"]: r for r in q_gopher_rules(spark, out).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for doc_id, text, _, _ in rows:
+        words = text.split(" ")
+        n = len(words)
+        mean_len = sum(len(w) for w in words) / max(n, 1)
+        alpha = sum(1 for w in words if any(c.isalpha() for c in w)) / max(
+            n, 1
+        )
+        n_stop = len({w for w in words if w in _STOPWORDS})
+        r = got[doc_id]
+        assert r["n_words"] == n
+        assert abs(r["mean_word_len"] - mean_len) < 1e-6
+        assert abs(r["alpha_frac"] - alpha) < 1e-6
+        assert r["n_distinct_stopwords"] == n_stop
+        assert r["rule_word_count"] == (n >= _GOPHER_MIN_WORDS)
+        assert r["rule_mean_len"] == (
+            _GOPHER_MIN_MEAN_LEN <= mean_len <= 10.0
+        )
+        assert r["rule_alpha"] == (alpha >= _GOPHER_MIN_ALPHA_FRAC)
+        assert r["rule_stopwords"] == (n_stop >= _GOPHER_MIN_STOPWORDS)
+        assert r["pass_gopher"] == (
+            r["rule_word_count"]
+            and r["rule_mean_len"]
+            and r["rule_alpha"]
+            and r["rule_stopwords"]
+        )
+    assert got[1]["pass_gopher"]
+    assert not got[2]["rule_word_count"]
+    assert not got[3]["rule_mean_len"]
+    assert not got[4]["rule_alpha"] and not got[4]["rule_mean_len"]
+    assert got[5]["rule_word_count"] and not got[5]["rule_stopwords"]
+
+
 def test_url_canonicalize_hand_checked(spark):
     """canonicalize_url (urls.py): hand-checked forms, including a
     non-default port that must survive and tracking-only queries that
