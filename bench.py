@@ -113,6 +113,7 @@ HEADLINE = [
     "pack_sequences",
     "paragraph_dedup",
     "gopher_rules",
+    "winnow_fingerprints",
 ]
 
 

@@ -727,6 +727,62 @@ FROM j GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# D9 — winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+# local document sketch): slide a window of _WINNOW_W consecutive shingle
+# hashes and keep each window's minimum; the selected set is position-
+# robust (guaranteed to share fingerprints with any copy that overlaps by
+# one window) with expected density 2/(W+1) — the substring-matching
+# sketch that complements minhash (set similarity) and the whole-doc
+# polynomial fingerprint.  Documents shorter than one window keep their
+# global minimum, the standard degenerate case.
+#
+# Scale shape: a pure narrow map — windows, minima, distinct, and sort
+# are all row-local higher-order array expressions; zero shuffle, zero
+# Python.  The sketch column then feeds any downstream bucketed join
+# (same O(docs x density) shape as the LSH band table) without ever
+# generating pairs here.
+# ---------------------------------------------------------------------------
+_WINNOW_W = 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = _WINNOW_W
+    hs = _shingle_hashes()
+    m = F.size(hs)
+    seq = F.sequence(F.lit(1), F.greatest(m - F.lit(w - 1), F.lit(1)))
+    sel = F.when(
+        m >= 1,
+        F.transform(seq, lambda i: F.array_min(F.slice(hs, i, w))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    fps = F.array_sort(F.array_distinct(sel))
+    return docs.select(
+        "doc_id",
+        m.alias("n_shingles"),
+        F.size(fps).alias("n_fingerprints"),
+        fps.alias("fingerprints"),
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH hs AS (
+  SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM documents),
+m AS (SELECT doc_id, hs, len(hs) AS m FROM hs),
+sel AS (
+  SELECT doc_id, m,
+         CASE WHEN m >= 1 THEN
+           list_sort(list_distinct(list_transform(
+             generate_series(1, GREATEST(m - {_WINNOW_W - 1}, 1)),
+             i -> list_min(hs[i:i + {_WINNOW_W - 1}]))))
+         ELSE []::BIGINT[] END AS fps
+  FROM m)
+SELECT doc_id, m AS n_shingles, len(fps) AS n_fingerprints,
+       fps AS fingerprints
+FROM sel
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
@@ -737,6 +793,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "dup_span_coverage": q_dup_span_coverage,
     "paragraph_dedup": q_paragraph_dedup,
+    "winnow_fingerprints": q_winnow_fingerprints,
 }
 
 ORACLE_SQL = {
@@ -749,4 +806,5 @@ ORACLE_SQL = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dup_span_coverage": SQL_DUP_SPAN_COVERAGE,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
 }

@@ -725,6 +725,59 @@ def test_paragraph_dedup_matches_python_recompute(spark, planted):
     assert rows[900001]["dedup_text"] == ""
 
 
+def test_winnow_fingerprints_matches_python_recompute(spark, planted):
+    """winnow_fingerprints (dedup.py D9): exact agreement with a
+    pure-Python winnowing recompute (3-word shingle md5 hashes, window-4
+    minima, sorted distinct), plus the MOSS overlap guarantee on the
+    planted exact copy: identical documents share identical sketches."""
+    import hashlib
+
+    from ocrd_tesserocr_spark.operators.dedup import (
+        HASH_P,
+        _WINNOW_W,
+        q_winnow_fingerprints,
+    )
+
+    def shingle_hashes(text):
+        w = text.split(" ")
+        return [
+            int(
+                hashlib.md5(" ".join(w[i : i + 3]).encode()).hexdigest()[:15],
+                16,
+            )
+            % HASH_P
+            for i in range(len(w) - 2)
+        ]
+
+    def winnow(hs):
+        if not hs:
+            return []
+        upper = max(len(hs) - _WINNOW_W + 1, 1)
+        return sorted({min(hs[i : i + _WINNOW_W]) for i in range(upper)})
+
+    docs = {
+        d["doc_id"]: d["text"]
+        for d in spark.read.parquet(f"{planted}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = {
+        r["doc_id"]: r for r in q_winnow_fingerprints(spark, planted).collect()
+    }
+    assert set(rows) == set(docs)
+    for did, text in docs.items():
+        hs = shingle_hashes(text)
+        r = rows[did]
+        assert r["n_shingles"] == len(hs), did
+        assert list(r["fingerprints"]) == winnow(hs), did
+        assert r["n_fingerprints"] == len(winnow(hs)), did
+        # winnowing density: expected 2/(W+1), loosely bounded
+        if len(hs) > 2 * _WINNOW_W:
+            assert r["n_fingerprints"] <= max(len(hs) - _WINNOW_W + 1, 1)
+    # exact copy shares the exact sketch (MOSS guarantee, trivially)
+    assert list(rows[0]["fingerprints"]) == list(rows[900001]["fingerprints"])
+
+
 def test_gopher_rules_planted_violations(spark, tmp_path):
     """gopher_rules (text.py T13): each rule must fire on a document
     planted to violate exactly it, the composite verdict must be the AND
