@@ -749,19 +749,39 @@ _WINNOW_W = 4
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     w = _WINNOW_W
-    hs = _shingle_hashes()
-    m = F.size(hs)
+    # staged projections: `hs` (the md5-heavy shingle map) is a NAMED
+    # column referenced W+1 times above, so CollapseProject keeps it in
+    # its own project and the md5 subtree is computed once (same shape
+    # the minhash plan test pins); the window minimum is W unrolled
+    # try_element_at lookups under least() (null-ignoring on both
+    # engines) — NOT array_min(slice(...)), whose per-window array
+    # allocation measured ~20x slower on the bench corpus.  Out-of-range
+    # lookups (only the m < W degenerate case) yield nulls least()
+    # skips, so the short-document fallback is the global min for free.
+    base = docs.select("doc_id", _shingle_hashes().alias("hs"))
+    withm = base.select("doc_id", "hs", F.size("hs").alias("m"))
+    hs, m = F.col("hs"), F.col("m")
     seq = F.sequence(F.lit(1), F.greatest(m - F.lit(w - 1), F.lit(1)))
     sel = F.when(
         m >= 1,
-        F.transform(seq, lambda i: F.array_min(F.slice(hs, i, w))),
+        F.transform(
+            seq,
+            lambda i: F.least(
+                *[F.try_element_at(hs, i + j) for j in range(w)]
+            ),
+        ),
     ).otherwise(F.array().cast("array<bigint>"))
-    fps = F.array_sort(F.array_distinct(sel))
-    return docs.select(
+    staged = withm.select("doc_id", m.alias("n_shingles"), sel.alias("sel"))
+    fpd = staged.select(
         "doc_id",
-        m.alias("n_shingles"),
-        F.size(fps).alias("n_fingerprints"),
-        fps.alias("fingerprints"),
+        "n_shingles",
+        F.array_sort(F.array_distinct("sel")).alias("fps"),
+    )
+    return fpd.select(
+        "doc_id",
+        "n_shingles",
+        F.size("fps").alias("n_fingerprints"),
+        F.col("fps").alias("fingerprints"),
     )
 
 
@@ -774,7 +794,7 @@ sel AS (
          CASE WHEN m >= 1 THEN
            list_sort(list_distinct(list_transform(
              generate_series(1, GREATEST(m - {_WINNOW_W - 1}, 1)),
-             i -> list_min(hs[i:i + {_WINNOW_W - 1}]))))
+             i -> LEAST({", ".join(f"hs[i + {j}]" for j in range(_WINNOW_W))}))))
          ELSE []::BIGINT[] END AS fps
   FROM m)
 SELECT doc_id, m AS n_shingles, len(fps) AS n_fingerprints,

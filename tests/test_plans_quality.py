@@ -116,11 +116,17 @@ def test_md5_subtree_not_duplicated_across_signature_columns(spark):
         q_lsh_pairs,
         q_minhash_signature,
         q_simhash,
+        q_winnow_fingerprints,
     )
 
     spark.conf.set("spark.sql.maxToStringFields", "10000")
     try:
-        for q in (q_minhash_signature, q_lsh_pairs, q_simhash):
+        for q in (
+            q_minhash_signature,
+            q_lsh_pairs,
+            q_simhash,
+            q_winnow_fingerprints,
+        ):
             df = q(spark, SF_ORACLE)
             opt = df._jdf.queryExecution().optimizedPlan().toString()
             assert opt.count("md5") == 1, q.__name__
