@@ -114,6 +114,7 @@ HEADLINE = [
     "paragraph_dedup",
     "gopher_rules",
     "winnow_fingerprints",
+    "char_stats",
 ]
 
 

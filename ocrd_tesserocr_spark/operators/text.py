@@ -1019,6 +1019,91 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# T14 — character-level stats (C4/CCNet natural-language signals): char
+# class fractions (alphabetic / digit / space) and the Shannon character
+# entropy in nats — low entropy flags repeated-char junk and template
+# boilerplate, extreme class fractions flag code/markup/number dumps; the
+# usual companions to the word-level gopher_rules gate above.
+#
+# Scale shape: a pure narrow map — the char array, class filters, and the
+# entropy fold are all row-local higher-order expressions; zero shuffle.
+# Cross-engine float parity: both engines iterate the SAME sorted distinct
+# char order for the sum of cnt*ln(cnt) (a groupBy-sum twin would change
+# summation order and risk ulp drift at the rounding boundary).
+# ---------------------------------------------------------------------------
+def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    n = F.length(text).cast("long")
+    chars = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n.cast("int")),
+            lambda i: text.substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_safe = F.greatest(n, F.lit(1).cast("long"))
+    frac_alpha = F.size(F.filter(chars, lambda c: c.rlike("[A-Za-z]"))) / n_safe
+    frac_digit = F.size(F.filter(chars, lambda c: c.rlike("[0-9]"))) / n_safe
+    frac_space = F.size(F.filter(chars, lambda c: c == " ")) / n_safe
+    uniq = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(
+        uniq, lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("long")
+    )
+    ssum = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, cnt: acc + cnt * F.log(cnt.cast("double")),
+    )
+    entropy = F.when(n >= 1, F.log(n.cast("double")) - ssum / n).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars_total"),
+        F.size(uniq).alias("n_distinct_chars"),
+        F.round(frac_alpha, 6).alias("frac_alpha"),
+        F.round(frac_digit, 6).alias("frac_digit"),
+        F.round(frac_space, 6).alias("frac_space"),
+        F.round(entropy, 6).alias("char_entropy"),
+    )
+
+
+SQL_CHAR_STATS = """
+WITH c AS (
+  SELECT doc_id, length(text)::BIGINT AS n,
+         CASE WHEN length(text) >= 1 THEN
+           list_transform(generate_series(1, length(text)),
+                          i -> substr(text, i, 1))
+         ELSE []::VARCHAR[] END AS chars
+  FROM documents),
+u AS (
+  SELECT doc_id, n, chars,
+         list_sort(list_distinct(chars)) AS uniq
+  FROM c),
+s AS (
+  SELECT doc_id, n, chars, uniq,
+         list_sum(list_transform(uniq,
+           cc -> len(list_filter(chars, x -> x = cc))::DOUBLE
+                 * ln(len(list_filter(chars, x -> x = cc))::DOUBLE)))
+           AS ssum
+  FROM u)
+SELECT doc_id,
+       n AS n_chars_total,
+       len(uniq) AS n_distinct_chars,
+       ROUND(len(list_filter(chars, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+             / GREATEST(n, 1), 6) AS frac_alpha,
+       ROUND(len(list_filter(chars, x -> regexp_matches(x, '[0-9]')))::DOUBLE
+             / GREATEST(n, 1), 6) AS frac_digit,
+       ROUND(len(list_filter(chars, x -> x = ' '))::DOUBLE
+             / GREATEST(n, 1), 6) AS frac_space,
+       ROUND(CASE WHEN n >= 1 THEN ln(n::DOUBLE) - COALESCE(ssum, 0.0) / n
+                  ELSE 0.0 END, 6) AS char_entropy
+FROM s
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1033,6 +1118,7 @@ QUERIES = {
     "mix_weights": q_mix_weights,
     "pack_sequences": q_pack_sequences,
     "gopher_rules": q_gopher_rules,
+    "char_stats": q_char_stats,
 }
 
 ORACLE_SQL = {
@@ -1049,4 +1135,5 @@ ORACLE_SQL = {
     "mix_weights": SQL_MIX_WEIGHTS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "gopher_rules": SQL_GOPHER_RULES,
+    "char_stats": SQL_CHAR_STATS,
 }

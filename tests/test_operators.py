@@ -847,6 +847,55 @@ def test_gopher_rules_planted_violations(spark, tmp_path):
     assert got[5]["rule_word_count"] and not got[5]["rule_stopwords"]
 
 
+def test_char_stats_matches_python_recompute(spark, tmp_path):
+    """char_stats (text.py T14): class fractions and Shannon character
+    entropy must agree with a pure-Python recompute, including the
+    low-entropy repeated-char and all-digit planted cases."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ocrd_tesserocr_spark.operators.text import q_char_stats
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog", "en", "web"),
+        (2, "aaaaaaaaaaaaaaaaaaaa", "en", "web"),  # single char: entropy 0
+        (3, "0123456789 0123456789", "en", "web"),  # digit-heavy
+        (4, "mixed CASE text with 42 numbers!", "en", "web"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len()
+    out = str(tmp_path / "chars")
+    os.makedirs(out)
+    df.to_parquet(out + "/documents.parquet")
+
+    got = {r["doc_id"]: r for r in q_char_stats(spark, out).collect()}
+    for doc_id, text, _, _ in rows:
+        n = len(text)
+        uniq = sorted(set(text))
+        counts = [text.count(c) for c in uniq]
+        ssum = 0.0
+        for cnt in counts:
+            ssum += cnt * math.log(float(cnt))
+        ent = math.log(float(n)) - ssum / n
+        r = got[doc_id]
+        assert r["n_chars_total"] == n
+        assert r["n_distinct_chars"] == len(uniq)
+        assert r["frac_alpha"] == r6(
+            sum(1 for c in text if c.isascii() and c.isalpha()) / n
+        )
+        assert r["frac_digit"] == r6(sum(1 for c in text if c.isdigit()) / n)
+        assert r["frac_space"] == r6(text.count(" ") / n)
+        assert abs(r["char_entropy"] - ent) < 1e-6, doc_id
+    assert got[2]["char_entropy"] == 0.0
+    assert got[3]["frac_digit"] > 0.9
+    assert got[2]["n_distinct_chars"] == 1
+
+
 def test_url_canonicalize_hand_checked(spark):
     """canonicalize_url (urls.py): hand-checked forms, including a
     non-default port that must survive and tracking-only queries that
