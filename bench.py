@@ -115,6 +115,7 @@ HEADLINE = [
     "gopher_rules",
     "winnow_fingerprints",
     "char_stats",
+    "length_quantiles",
 ]
 
 

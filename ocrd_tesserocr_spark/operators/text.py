@@ -1146,6 +1146,63 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# T15 — per-language length distribution (the corpus-profile report every
+# mixture-planning pass starts from: how long are documents per language,
+# at the quartiles that drive packing and truncation choices).  Exact
+# interpolated percentiles here for oracle parity (both engines sort the
+# same int64 column, interpolation on exact ints is deterministic); at
+# production scale swap the percentile() calls for approx_percentile —
+# the one-pass KLL/GK sketch — which is the documented deployment form
+# (exact per-group percentiles need a per-group sort that is pointless
+# at 10^12 rows when the report tolerates sketch error).
+#
+# Scale shape: one groupBy on lang (|langs| rows out, map-side partials
+# for count/sum/min/max); mean is an exact int64 sum divided once, so
+# cross-engine float parity is exact regardless of summation order.
+# ---------------------------------------------------------------------------
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = F.col("n_chars")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(n).alias("min_chars"),
+            F.round(
+                F.sum(n).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_chars"),
+            F.percentile(n, F.lit(0.25)).alias("p25"),
+            F.percentile(n, F.lit(0.5)).alias("p50"),
+            F.percentile(n, F.lit(0.9)).alias("p90"),
+            F.max(n).alias("max_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "min_chars",
+            "mean_chars",
+            F.round("p25", 6).alias("p25_chars"),
+            F.round("p50", 6).alias("p50_chars"),
+            F.round("p90", 6).alias("p90_chars"),
+            "max_chars",
+        )
+    )
+
+
+SQL_LENGTH_QUANTILES = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 6) AS mean_chars,
+       ROUND(quantile_cont(n_chars, 0.25), 6) AS p25_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1161,6 +1218,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "gopher_rules": q_gopher_rules,
     "char_stats": q_char_stats,
+    "length_quantiles": q_length_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1178,4 +1236,5 @@ ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "gopher_rules": SQL_GOPHER_RULES,
     "char_stats": SQL_CHAR_STATS,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
 }

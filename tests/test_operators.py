@@ -896,6 +896,37 @@ def test_char_stats_matches_python_recompute(spark, tmp_path):
     assert got[2]["n_distinct_chars"] == 1
 
 
+def test_length_quantiles_matches_python_recompute(spark):
+    """length_quantiles (text.py T15): counts, mean, and interpolated
+    percentiles per language must agree with a pure-Python recompute
+    (numpy linear interpolation = Spark percentile = DuckDB
+    quantile_cont semantics)."""
+    import numpy as np
+
+    from ocrd_tesserocr_spark.operators.text import q_length_quantiles
+
+    by_lang: dict[str, list[int]] = {}
+    for d in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("lang", "n_chars")
+        .collect()
+    ):
+        by_lang.setdefault(d["lang"], []).append(d["n_chars"])
+    rows = {r["lang"]: r for r in q_length_quantiles(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(by_lang)
+    for lang, vals in by_lang.items():
+        arr = np.array(sorted(vals), dtype=float)
+        r = rows[lang]
+        assert r["n_docs"] == len(vals)
+        assert r["min_chars"] == min(vals) and r["max_chars"] == max(vals)
+        assert abs(r["mean_chars"] - sum(vals) / len(vals)) < 1e-6
+        for p, col in ((25, "p25_chars"), (50, "p50_chars"), (90, "p90_chars")):
+            assert abs(r[col] - float(np.percentile(arr, p))) < 1e-6, (
+                lang,
+                col,
+            )
+
+
 def test_url_canonicalize_hand_checked(spark):
     """canonicalize_url (urls.py): hand-checked forms, including a
     non-default port that must survive and tracking-only queries that
