@@ -482,6 +482,30 @@ def improved_best(timings: dict, best: dict) -> dict:
     }
 
 
+def shed_queries_to_fit(
+    result: dict, timings: dict, limit: int = 1700
+) -> str:
+    """Fit the result line under the driver's capture window by shedding
+    the FASTEST non-contract queries first: the slow (informative)
+    readings and the canary/wall contract keys stay inline as long as
+    they fit.  The all-or-nothing shed this replaces dropped every
+    per-query value the moment the suite crossed ~35 queries (run 79);
+    the full map is always in the evidence sidecar either way."""
+    keep = dict(timings)
+    contract = {"q1_pricing_summary", "extraction_local32"}
+    shed_order = sorted(
+        (k for k in keep if k not in contract), key=lambda k: keep[k]
+    )
+    for k in shed_order:
+        result["queries"] = keep
+        line = json.dumps(result)
+        if len(line) <= limit:
+            return line
+        keep.pop(k)
+    result["queries"] = keep
+    return json.dumps(result)
+
+
 def append_evidence_log(repo_root: str, evidence: dict, run_id: str,
                         keep: int = 40) -> None:
     """Append-only evidence history (VERDICT r4 item 2): the round-4
@@ -1087,20 +1111,20 @@ def main() -> None:
     # while letting the worst case (secondary + fallback + 6 ambers)
     # keep its full per-query detail
     if len(line) > 1700:
-        # last-ditch guard for the driver's capture window: shed the
-        # per-query detail into the sidecar, keep the contract fields
+        # guard for the driver's capture window: the full per-query
+        # detail always lands in the sidecar, then the LINE sheds its
+        # fastest non-contract queries first — the slow (informative)
+        # readings and the canary/wall contract keys stay inline as
+        # long as they fit (the suite crossing 35 queries made the
+        # all-or-nothing shed drop everything, run 79)
         evidence["queries_full"] = timings
         with open(os.path.join(repo_root, evidence_name), "w") as f:
             json.dump(evidence, f, indent=2)
         append_evidence_log(repo_root, evidence, run_id)
-        result["queries"] = {
-            k: timings[k]
-            for k in ("q1_pricing_summary", "extraction_local32")
-            if k in timings
-        }
         result["qbest"] = {"amber": qbest["amber"][:6],
+                           "n_amber": len(qbest["amber"]),
                            "n_green": qbest["n_green"]}
-        line = json.dumps(result)
+        line = shed_queries_to_fit(result, timings)
     print(line)
 
 

@@ -275,6 +275,41 @@ def test_compact_result_line_fits_capture_window():
     assert len(line) < 1700, len(line)
 
 
+def test_shed_keeps_slowest_queries_and_contract_keys():
+    """shed_queries_to_fit: with a 36-query suite pushing the line over
+    the guard, the fastest non-contract queries shed first — the slow
+    readings, the canary, and the wall stay inline; the line fits."""
+    from bench import shed_queries_to_fit
+
+    timings = {f"op_{i:02d}": round(0.05 + i * 0.37, 3) for i in range(34)}
+    timings["q1_pricing_summary"] = 0.061
+    timings["extraction_local32"] = 44.125
+    result = {
+        "metric": "m" * 120, "value": 99.9, "unit": "sec", "sf": 0.1,
+        "qbest": {"amber": ["op_33"], "n_amber": 1, "n_green": 35},
+        "xxhash": {"minhash_signature": 0.3, "lsh_pairs": 0.5,
+                   "simhash": 0.1, "fingerprint": 0.09},
+        "extraction": {"filler": "x" * 1100},
+    }
+    line = shed_queries_to_fit(result, timings)
+    assert len(line) <= 1700
+    kept = json.loads(line)["queries"]
+    # contract keys survive even though q1 is the fastest entry
+    assert "q1_pricing_summary" in kept and "extraction_local32" in kept
+    # the slowest operator readings survive; the fastest shed
+    assert "op_33" in kept and "op_32" in kept
+    assert "op_00" not in kept
+    # everything kept is slower than everything shed (contract aside)
+    shed = set(timings) - set(kept)
+    non_contract_kept = [
+        timings[k] for k in kept
+        if k not in ("q1_pricing_summary", "extraction_local32")
+    ]
+    assert min(non_contract_kept) >= max(
+        timings[k] for k in shed
+    )
+
+
 def test_query_health_flags_only_over_2x_best():
     from bench import improved_best, query_health
 
