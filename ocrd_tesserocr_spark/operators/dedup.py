@@ -777,11 +777,18 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         F.array_sort(F.array_distinct("sel")).alias("fps"),
     )
+    # '-'-joined string sketch (the minhash_sig precedent above): a raw
+    # array<bigint> column cannot be sorted by the parity driver's pandas
+    # canonicalizer (CORRECTNESS_r05: "unhashable type: 'list'"), so the
+    # fingerprint set ships as one scalar string; n_fingerprints stays the
+    # scalar cardinality
     return fpd.select(
         "doc_id",
         "n_shingles",
         F.size("fps").alias("n_fingerprints"),
-        F.col("fps").alias("fingerprints"),
+        F.array_join(F.col("fps").cast("array<string>"), "-").alias(
+            "fingerprints"
+        ),
     )
 
 
@@ -798,7 +805,7 @@ sel AS (
          ELSE []::BIGINT[] END AS fps
   FROM m)
 SELECT doc_id, m AS n_shingles, len(fps) AS n_fingerprints,
-       fps AS fingerprints
+       array_to_string(fps, '-') AS fingerprints
 FROM sel
 """
 
