@@ -63,9 +63,20 @@ def _sig_cols() -> list:
     ]
 
 
-def _shingle_hashes() -> F.Column:
-    words = F.split(F.col("text"), " ")
-    n = F.size(words)
+def _staged_hs(docs: DataFrame) -> DataFrame:
+    """docs -> docs + ``hs`` (3-word-shingle md5 hashes), with the word
+    array STAGED as a named column (round-6 optimization, guide section
+    1.2 step 2): an inline ``element_at(split(text), i)`` inside a
+    higher-order lambda re-evaluates the split once PER ELEMENT REFERENCE
+    (interpreted lambda bodies have no subexpression elimination), making
+    shingle construction O(words^2) per document.  A named multi-
+    referenced non-cheap alias is kept in its own Project by
+    CollapseProject, so the split runs once per row — measured 3.4x on
+    the sf1.0 shingle map (1.50 s -> 0.44 s), identical values."""
+    cols = docs.columns
+    staged = docs.select(*cols, F.split(F.col("text"), " ").alias("__w"))
+    wc = F.col("__w")
+    n = F.size(wc)
     idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
         F.array().cast("array<int>")
     )
@@ -73,12 +84,16 @@ def _shingle_hashes() -> F.Column:
         idx,
         lambda i: F.concat_ws(
             " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
+            F.element_at(wc, i),
+            F.element_at(wc, i + 1),
+            F.element_at(wc, i + 2),
         ),
     )
-    return F.transform(shingles, lambda s: hash_mod(s, HASH_P))
+    sh = staged.select(*cols, shingles.alias("__sh"))
+    return sh.select(
+        *cols,
+        F.transform(F.col("__sh"), lambda s: hash_mod(s, HASH_P)).alias("hs"),
+    )
 
 
 _SQL_SHINGLE_HASHES = f"""
@@ -118,8 +133,7 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).where(F.size(F.split(F.col("text"), " ")) >= 3)
-    hs = _shingle_hashes().alias("hs")
-    with_h = docs.select("doc_id", hs)
+    with_h = _staged_hs(docs).select("doc_id", "hs")
     sigged = with_h.select("doc_id", *_sig_cols())
     sig_str = F.concat_ws("-", *[F.col(f"s{i}").cast("string") for i in range(N_HASHES)])
     return sigged.select("doc_id", sig_str.alias("minhash_sig"))
@@ -203,7 +217,7 @@ def lsh_candidate_pairs(docs: DataFrame, hs_df: DataFrame | None = None) -> Data
     raw shingle arrays give identical signatures."""
     if hs_df is None:
         docs = docs.where(F.size(F.split(F.col("text"), " ")) >= 3)
-        hs_df = docs.select("doc_id", _shingle_hashes().alias("hs"))
+        hs_df = _staged_hs(docs).select("doc_id", "hs")
     sigged = hs_df.select("doc_id", *_sig_cols())
     banded = sigged.select("doc_id", F.explode(_band_keys_col()).alias("band_key"))
     buckets = (
@@ -311,8 +325,8 @@ SHINGLE_DF_CAP = 64
 
 def q_ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    exploded = (
-        docs.select("doc_id", "lang", F.explode(F.array_distinct(_shingle_hashes())).alias("h"))
+    exploded = _staged_hs(docs).select(
+        "doc_id", "lang", F.explode(F.array_distinct("hs")).alias("h")
     )
     # bucket-and-generate (same physical shape as lsh_candidate_pairs): ONE
     # groupBy(h) shuffle collects each shingle's posting list, the df-cap
@@ -423,9 +437,11 @@ def q_near_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them until an explicit unpersist the caller never gets to make).
     # At cluster scale the equivalent is a reliable checkpoint / staged
     # table between the shingle pass and its three consumers.
-    with_h = docs.select(
-        "doc_id", F.array_distinct(_shingle_hashes()).alias("hs")
-    ).localCheckpoint(eager=True)
+    with_h = (
+        _staged_hs(docs)
+        .select("doc_id", F.array_distinct("hs").alias("hs"))
+        .localCheckpoint(eager=True)
+    )
     cands = lsh_candidate_pairs(docs, hs_df=with_h).select(
         F.col("doc_a").alias("da"), F.col("doc_b").alias("db")
     )
@@ -584,28 +600,40 @@ SELECT node AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY node
 # no df cap is needed: per-key work is O(df), not O(df^2).
 # ---------------------------------------------------------------------------
 def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-6 restructure: the r5 shape planned the md5 shingle DAG three
+    # times (counts branch, df branch, join branch) and ended with a
+    # doc_id join of two per-doc tables.  Carrying n_shingles THROUGH the
+    # explode (the decontaminate precedent) folds the counts branch and
+    # the final join away: two shingle passes, one narrow groupBy(h), one
+    # left join against the small df>=2 table (AQE broadcast), one
+    # map-side-combined groupBy(doc_id).  explode_outer keeps shingle-less
+    # docs as (h = null) rows, which the left join carries through with
+    # df null, so count("df") gives them n_dup = 0 — same rows as before.
     docs = _docs(spark, sf_dir)
-    counts = docs.select(
+    ds = _staged_hs(docs).select("doc_id", F.array_distinct("hs").alias("ds"))
+    e = ds.select(
         "doc_id",
-        F.size(F.array_distinct(_shingle_hashes())).cast("long").alias("n_shingles"),
+        F.size("ds").cast("long").alias("n_shingles"),
+        F.explode_outer("ds").alias("h"),
     )
-    e = docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingle_hashes())).alias("h")
+    dfc = (
+        e.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
     )
-    dfc = e.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    dup = (
-        e.join(dfc.where(F.col("df") >= 2), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_shingles"))
+    per_doc = (
+        e.join(dfc, "h", "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("df").alias("n_dup_shingles"))
     )
-    n_dup = F.coalesce(F.col("n_dup_shingles"), F.lit(0).cast("long"))
     ratio = F.when(
-        F.col("n_shingles") > 0, n_dup / F.col("n_shingles")
+        F.col("n_shingles") > 0, F.col("n_dup_shingles") / F.col("n_shingles")
     ).otherwise(F.lit(0.0))
-    return counts.join(dup, "doc_id", "left").select(
+    return per_doc.select(
         "doc_id",
         "n_shingles",
-        n_dup.alias("n_dup_shingles"),
+        "n_dup_shingles",
         F.round(ratio, 6).alias("dup_ratio"),
     )
 
@@ -655,13 +683,17 @@ _PARA_W = 8  # words per pseudo-paragraph segment
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     w = _PARA_W
-    words = F.split(F.col("text"), " ")
-    n_segs = F.expr(f"(size(split(text, ' ')) + {w - 1}) DIV {w}")
+    # the word array is STAGED as a named column (ADVICE r5: the inline
+    # split re-ran once per segment inside the slice lambda — O(n_words x
+    # n_segs) per row; see _staged_hs for the mechanism)
+    staged = docs.select("doc_id", F.split(F.col("text"), " ").alias("__w"))
+    wc = F.col("__w")
+    n_segs = F.floor((F.size(wc) + F.lit(w - 1)) / F.lit(w)).cast("int")
     segs_arr = F.transform(
-        F.sequence(F.lit(0).cast("int"), (n_segs - 1).cast("int")),
-        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+        F.sequence(F.lit(0).cast("int"), n_segs - 1),
+        lambda i: F.array_join(F.slice(wc, i * w + 1, w), " "),
     )
-    segs = docs.select(
+    segs = staged.select(
         "doc_id", F.posexplode(segs_arr).alias("pos", "seg")
     ).withColumn("h", hash_long(F.concat(F.lit("para|"), F.col("seg"))))
     keepers = segs.groupBy("h").agg(
@@ -758,7 +790,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # allocation measured ~20x slower on the bench corpus.  Out-of-range
     # lookups (only the m < W degenerate case) yield nulls least()
     # skips, so the short-document fallback is the global min for free.
-    base = docs.select("doc_id", _shingle_hashes().alias("hs"))
+    base = _staged_hs(docs).select("doc_id", "hs")
     withm = base.select("doc_id", "hs", F.size("hs").alias("m"))
     hs, m = F.col("hs"), F.col("m")
     seq = F.sequence(F.lit(1), F.greatest(m - F.lit(w - 1), F.lit(1)))

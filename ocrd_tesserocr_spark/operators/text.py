@@ -359,7 +359,13 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism
     )
-    words = F.split(F.col("text"), " ")
+    # word array STAGED as a named column (round 6): the inline form
+    # re-split the text per element reference inside the bigram/trigram
+    # lambdas — see dedup._staged_hs for the mechanism and measurement
+    docs = docs.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("__w")
+    )
+    words = F.col("__w")
     n = F.size(words)
     bigrams = F.when(
         n >= 2,
@@ -422,13 +428,22 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    out = docs.select(
+    # trigrams and the longest-run fold are staged too: the r5 projection
+    # referenced each twice (size + distinct-size; best + best_cnt), so
+    # the trigram build and the WHOLE bigram fold each ran twice per row
+    staged = docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_text_chars"),
-        F.size(trigrams).cast("long").alias("n_trigrams"),
-        F.size(F.array_distinct(trigrams)).cast("long").alias("n_distinct_trigrams"),
-        top_struct["best"].alias("top_bigram"),
-        top_struct["best_cnt"].alias("top_bigram_count"),
+        trigrams.alias("__tg"),
+        top_struct.alias("__top"),
+    )
+    out = staged.select(
+        "doc_id",
+        "n_text_chars",
+        F.size("__tg").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("__tg")).cast("long").alias("n_distinct_trigrams"),
+        F.col("__top")["best"].alias("top_bigram"),
+        F.col("__top")["best_cnt"].alias("top_bigram_count"),
     )
     top_cnt = F.coalesce(F.col("top_bigram_count"), F.lit(0).cast("long"))
     top_frac = F.when(
@@ -512,6 +527,26 @@ _DECON_K = 8  # shingle width in words
 _DECON_EVAL_MOD = 50  # doc_id % 50 == 0 -> the stand-in benchmark set
 
 
+def _staged_decon_shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, ds): distinct word 8-grams, with the
+    word array staged as a named column — the inline form re-split the
+    text once per element reference (8 element_at per shingle; see
+    dedup._staged_hs for the mechanism and measurement)."""
+    staged = df.select("doc_id", F.split(F.col("text"), " ").alias("__w"))
+    wc = F.col("__w")
+    n = F.size(wc)
+    shingles = F.when(
+        n >= _DECON_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (_DECON_K - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(wc, i + j) for j in range(_DECON_K)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select("doc_id", F.array_distinct(shingles).alias("ds"))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-split the sandbox's single-row-group parquet (same rationale as
     # dedup._docs); droppable where the scan has real splits
@@ -520,25 +555,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    words = F.split(F.col("text"), " ")
-    n = F.size(words)
-    shingles = F.when(
-        n >= _DECON_K,
-        F.transform(
-            F.sequence(F.lit(1), n - (_DECON_K - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j) for j in range(_DECON_K)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    with_sh = docs.select("doc_id", F.array_distinct(shingles).alias("ds"))
+    with_sh = _staged_decon_shingles(docs)
     # eval branch reads its own scan with the filter BELOW any exchange —
     # the 2% benchmark slice never rides the corpus repartition
     eval_sh = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
-        .where(F.col("doc_id") % _DECON_EVAL_MOD == 0)
-        .select(F.explode(F.array_distinct(shingles)).alias("es"))
+        _staged_decon_shingles(
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .where(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        )
+        .select(F.explode("ds").alias("es"))
         .distinct()
     )
     exploded = with_sh.select(
