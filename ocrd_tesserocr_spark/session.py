@@ -42,5 +42,17 @@ def get_spark(
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate clones the generator expression into a
+        # pre-Generate filter (size(e) > 0 AND isnotnull(e)) — for this
+        # engine's explodes the generator is an expensive higher-order
+        # shingle/trigram build, so the "optimization" re-evaluates that
+        # whole subtree twice more per row at the scan (measured 6x on the
+        # decontaminate eval branch, round 6).  Excluding the rule never
+        # changes results; empty-array rows are rare in every operator
+        # here, so the filter it infers saves nothing.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     return b.getOrCreate()
