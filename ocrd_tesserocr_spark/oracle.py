@@ -35,7 +35,7 @@ Semantics transplanted from the reference:
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
 from operator import itemgetter
 
@@ -433,25 +433,44 @@ def word_conf(word: str) -> float:
     return round(1.0 - 0.5 * ((len(word) - alnum) / len(word)), 4)
 
 
-@dataclass(slots=True)
 class _RawBlock:
-    kind: str
-    rtl: bool = False
-    btt: bool = False  # bottom-to-top line order (common.py:131-134)
-    join: bool = False
-    boiler: bool = False
-    parts: list = field(default_factory=list)  # (text, in_link, style_bits)
-    tag_count: int = 0
+    """Raw block under construction (hand-written slots class: the
+    dataclass-generated __init__ with a default_factory profiled ~1.4x
+    slower across the parser's ~40 constructions per document, round 6).
+    ``parts`` holds (text, in_link, style_bits); ``btt`` is the
+    bottom-to-top line order flag (common.py:131-134)."""
+
+    __slots__ = ("kind", "rtl", "btt", "join", "boiler", "parts", "tag_count")
+
+    def __init__(
+        self,
+        kind: str,
+        rtl: bool = False,
+        btt: bool = False,
+        join: bool = False,
+        boiler: bool = False,
+    ) -> None:
+        self.kind = kind
+        self.rtl = rtl
+        self.btt = btt
+        self.join = join
+        self.boiler = boiler
+        self.parts = []
+        self.tag_count = 0
 
 
 # single-pass token scanner (replaces stdlib HTMLParser, which profiled at
-# ~60% of kernel time; same event stream, lenient like a browser tokenizer)
+# ~60% of kernel time; same event stream, lenient like a browser tokenizer).
+# Alternation order: most common first (start tag, end tag) so the engine
+# tries at most one extra branch per real tag — safe because every branch
+# except the bogus catch-all is mutually exclusive on the 2nd/3rd char
+# ('<a', '</', '<!--', '<![', '<!D'), and bogus stays last.
 _TOKEN_RE = re.compile(
-    r"<!--.*?-->"  # comment
+    r"<([a-zA-Z][a-zA-Z0-9:_-]*)([^>]*?)(/?)>"  # start tag (attrs, selfclose)
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>"  # end tag
+    r"|<!--.*?-->"  # comment
     r"|<!\[CDATA\[.*?\]\]>"  # cdata
     r"|<!DOCTYPE[^>]*>"  # doctype
-    r"|</\s*([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>"  # end tag
-    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)([^>]*?)(/?)>"  # start tag (attrs, selfclose)
     r"|<[^>]*>?",  # bogus markup -> dropped
     re.S | re.I,
 )
@@ -497,20 +516,36 @@ class _BlockParser:
         pos = 0
         n = len(html)
         lower = None
+        # bound methods and module globals hoisted to locals: the loop body
+        # runs ~160x per document, and LOAD_FAST beats attribute/global
+        # lookups in exactly this kind of dispatch loop (round 6)
         search = _TOKEN_RE.search
+        handle_data = self.handle_data
+        handle_starttag = self.handle_starttag
+        handle_startendtag = self.handle_startendtag
+        handle_endtag = self.handle_endtag
+        skip_content = _SKIP_CONTENT
+        unesc = unescape
         while pos < n:
             m = search(html, pos)
             if m is None:
-                self._data(html[pos:])
+                chunk = html[pos:]
+                if "&" in chunk:
+                    chunk = unesc(chunk)
+                handle_data(chunk)
                 break
-            if m.start() > pos:
-                self._data(html[pos : m.start()])
+            start = m.start()
+            if start > pos:
+                chunk = html[pos:start]
+                if "&" in chunk:
+                    chunk = unesc(chunk)
+                handle_data(chunk)
             pos = m.end()
             # one C call for all four groups instead of four lookups
-            end_name, start_name, attrs_raw, selfclose = m.group(1, 2, 3, 4)
+            start_name, attrs_raw, selfclose, end_name = m.group(1, 2, 3, 4)
             if start_name is not None:
                 tag = start_name.lower()
-                if tag in _SKIP_CONTENT:
+                if tag in skip_content:
                     # fast-forward past the raw content (script/style/...)
                     if lower is None:
                         lower = html.lower()
@@ -531,21 +566,16 @@ class _BlockParser:
                         for a, v in _ATTR_RE.findall(attrs_raw)
                     ]
                 if selfclose:
-                    self.handle_startendtag(tag, attrs)
+                    handle_startendtag(tag, attrs)
                 else:
-                    self.handle_starttag(tag, attrs)
+                    handle_starttag(tag, attrs)
                 continue
             if end_name is not None:
-                self.handle_endtag(end_name.lower())
+                handle_endtag(end_name.lower())
             # comments / doctype / bogus markup: dropped
 
     def close(self) -> None:
         pass
-
-    def _data(self, chunk: str) -> None:
-        if "&" in chunk:
-            chunk = unescape(chunk)
-        self.handle_data(chunk)
 
     # -- helpers ----------------------------------------------------------
     def _rtl(self) -> bool:
@@ -618,9 +648,9 @@ class _BlockParser:
         else:
             a = _EMPTY_ATTRS
         if cat == 0:  # any other tag: counts toward text_density only
-            top = self._top()
-            if top is not None:
-                top.tag_count += 1
+            stack = self._stack
+            if stack:
+                stack[-1].tag_count += 1
             return
         if cat == _CAT_BOILER:
             self._boiler_depth += 1
@@ -636,22 +666,22 @@ class _BlockParser:
             )
             return
         if cat == _CAT_BR:
-            top = self._top()
-            if top is not None:
-                top.parts.append(("\n", False, 0))
+            stack = self._stack
+            if stack:
+                stack[-1].parts.append(("\n", False, 0))
             return
         if cat == _CAT_A:
             self._link_depth += 1
-            top = self._top()
-            if top is not None:
-                top.tag_count += 1
+            stack = self._stack
+            if stack:
+                stack[-1].tag_count += 1
             return
         if cat == _CAT_STYLE:
             self._style_depth[tag] += 1
             self._style_bits |= _STYLE_BITS[tag]
-            top = self._top()
-            if top is not None:
-                top.tag_count += 1
+            stack = self._stack
+            if stack:
+                stack[-1].tag_count += 1
             return
         # _CAT_BLOCK
         self._close_implicit()
@@ -701,7 +731,8 @@ class _BlockParser:
     def handle_data(self, data: str) -> None:
         if self._skip_depth:
             return
-        top = self._top()
+        stack = self._stack
+        top = stack[-1] if stack else None
         # isspace() == (strip() falsy) for non-empty strings, without
         # allocating the stripped copy of every TEXT run just to test it
         if not data or data.isspace():
