@@ -115,7 +115,14 @@ def _messy_url() -> Column:
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # narrow (doc_id, lang) re-split before the regex-heavy map: the
+    # single-row-group sandbox parquet otherwise caps the whole
+    # canonicalization at 1-2 tasks (round 6; dedup._docs rationale)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     messy = docs.select("doc_id", "lang", _messy_url().alias("url"))
     return messy.select(
         "doc_id",

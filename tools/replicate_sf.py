@@ -31,9 +31,16 @@ def replicate(src: str, dst: str, rep: int) -> None:
             continue
         s = os.path.join(src, name)
         d = os.path.join(dst, name)
-        if name in ("documents.parquet", "embeddings.parquet"):
+        id_cols = {
+            "documents.parquet": "doc_id",
+            "embeddings.parquet": "vec_id",
+            "lineitem.parquet": "l_orderkey",
+            "orders.parquet": "o_orderkey",
+            "events.parquet": "event_id",
+        }
+        if name in id_cols:
             t = pq.read_table(s)
-            id_col = "doc_id" if name == "documents.parquet" else "vec_id"
+            id_col = id_cols[name]
             parts = []
             for k in range(rep):
                 ids = pc.add(t.column(id_col), k * OFFSET)
