@@ -37,11 +37,6 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 from functools import lru_cache
-from operator import itemgetter
-
-#: (word, style_bits) -> word, C-level, for the block-level conf
-#: aggregation hot loop (measured ~1.25x over a tuple-unpacking genexpr)
-_word_of = itemgetter(0)
 from html import unescape
 
 #: bump on ANY change to extract_document semantics: the token is baked
@@ -405,8 +400,8 @@ def model_block_score(line_words: list, table: dict) -> float:
     'reads' the block most confidently."""
     total = 0.0
     n = 0
-    for words in line_words:
-        for w, _ in words:
+    for words, _ in line_words:
+        for w in words:
             for ch in w:
                 c = glyph_conf(ch)
                 if ch in table:
@@ -433,31 +428,13 @@ def word_conf(word: str) -> float:
     return round(1.0 - 0.5 * ((len(word) - alnum) / len(word)), 4)
 
 
-class _RawBlock:
-    """Raw block under construction (hand-written slots class: the
-    dataclass-generated __init__ with a default_factory profiled ~1.4x
-    slower across the parser's ~40 constructions per document, round 6).
-    ``parts`` holds (text, in_link, style_bits); ``btt`` is the
-    bottom-to-top line order flag (common.py:131-134)."""
-
-    __slots__ = ("kind", "rtl", "btt", "join", "boiler", "parts", "tag_count")
-
-    def __init__(
-        self,
-        kind: str,
-        rtl: bool = False,
-        btt: bool = False,
-        join: bool = False,
-        boiler: bool = False,
-    ) -> None:
-        self.kind = kind
-        self.rtl = rtl
-        self.btt = btt
-        self.join = join
-        self.boiler = boiler
-        self.parts = []
-        self.tag_count = 0
-
+#: raw block record layout (plain list — LOAD_FAST + BINARY_SUBSCR beat
+#: slots-attribute traffic across the parser's ~40 constructions and
+#: ~hundreds of accesses per document, round 6):
+#:   [kind, rtl, btt, join, parts, tag_count]
+#: ``parts`` holds (text, in_link, style_bits); ``btt`` is the
+#: bottom-to-top line order flag (common.py:131-134).
+_RK, _RRTL, _RBTT, _RJOIN, _RPARTS, _RTAGS = 0, 1, 2, 3, 4, 5
 
 # single-pass token scanner (replaces stdlib HTMLParser, which profiled at
 # ~60% of kernel time; same event stream, lenient like a browser tokenizer).
@@ -466,7 +443,7 @@ class _RawBlock:
 # except the bogus catch-all is mutually exclusive on the 2nd/3rd char
 # ('<a', '</', '<!--', '<![', '<!D'), and bogus stays last.
 _TOKEN_RE = re.compile(
-    r"<([a-zA-Z][a-zA-Z0-9:_-]*)([^>]*?)(/?)>"  # start tag (attrs, selfclose)
+    r"<([a-zA-Z][a-zA-Z0-9:_-]*)([^>]*)>"  # start tag (attrs incl. selfclose /)
     r"|</\s*([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>"  # end tag
     r"|<!--.*?-->"  # comment
     r"|<!\[CDATA\[.*?\]\]>"  # cdata
@@ -474,6 +451,11 @@ _TOKEN_RE = re.compile(
     r"|<[^>]*>?",  # bogus markup -> dropped
     re.S | re.I,
 )
+#: case-insensitive end-tag finders for raw-content skips: searching with
+#: one of these from the current position replaces lowering the WHOLE
+#: document (html.lower() allocated + scanned a full copy per document
+#: just to skip a <title>)
+_SKIP_END = {t: re.compile(r"</" + t, re.I) for t in _SKIP_CONTENT}
 _ATTR_RE = re.compile(
     r"([a-zA-Z][a-zA-Z0-9_:-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
 )
@@ -485,269 +467,250 @@ def _unquote_attr(v: str) -> str:
     return unescape(v) if "&" in v else v
 
 
-#: shared read-only dict for attribute-free tags (never mutated — the
-#: parser only ever .get()s from it)
-_EMPTY_ATTRS: dict = {}
+#: shared immutable separator parts: whitespace-run and <br> separators
+#: are appended tens of times per document — one tuple each, never rebuilt
+_SEP_PART = (" ", False, 0)
+_BR_PART = ("\n", False, 0)
 
 
-class _BlockParser:
-    """Streaming DOM tokenizer -> flat list of raw blocks in document order.
+def _parse_blocks(html: str) -> list:
+    """Streaming DOM tokenizer -> flat list of raw block records in
+    document order (the analogue of Tesseract's single-pass layout
+    analysis: one walk over the token stream yields every block with its
+    classification inputs, recognize.py:486-492).
 
-    The analogue of Tesseract's single-pass layout analysis: one walk over
-    the token stream yields every block with its classification inputs
-    (recognize.py:486-492 runs all hierarchy levels off one iterator).
+    One function, all state in locals (round 6): the former _BlockParser
+    class dispatched ~320 method calls per document whose bodies were
+    dominated by ``self._x`` attribute traffic; inlining the handlers
+    keeps the whole event loop in LOAD_FAST territory.  The event stream
+    and its semantics are byte-identical (digest-pinned across every
+    preset x corpus combination).
     """
+    blocks: list = []
+    stack: list = []  # open block records
+    open_tags: list = []  # open block tag names ('#implicit' sentinel)
+    link_depth = 0
+    boiler_depth = 0
+    dir_stack: list = []  # rtl flags from dir= attrs
+    dir_tags: list = []
+    # open b/i/code depths -> current style bits for text parts
+    style_depth = {"b": 0, "i": 0, "code": 0}
+    style_bits = 0
 
-    def __init__(self) -> None:
-        self.blocks: list[_RawBlock] = []
-        self._stack: list[_RawBlock] = []  # open block elements
-        self._open_tags: list[str] = []  # open block tag names
-        self._skip_depth = 0
-        self._link_depth = 0
-        self._boiler_depth = 0
-        self._dir_stack: list[bool] = []  # rtl flags from dir= attrs
-        self._dir_tags: list[str] = []
-        # open b/i/code depths -> current style bits for text parts
-        self._style_depth = {"b": 0, "i": 0, "code": 0}
-        self._style_bits = 0
-
-    # -- scanner -----------------------------------------------------------
-    def feed(self, html: str) -> None:
-        pos = 0
-        n = len(html)
-        lower = None
-        # bound methods and module globals hoisted to locals: the loop body
-        # runs ~160x per document, and LOAD_FAST beats attribute/global
-        # lookups in exactly this kind of dispatch loop (round 6)
-        search = _TOKEN_RE.search
-        handle_data = self.handle_data
-        handle_starttag = self.handle_starttag
-        handle_startendtag = self.handle_startendtag
-        handle_endtag = self.handle_endtag
-        skip_content = _SKIP_CONTENT
-        unesc = unescape
-        while pos < n:
-            m = search(html, pos)
-            if m is None:
-                chunk = html[pos:]
-                if "&" in chunk:
-                    chunk = unesc(chunk)
-                handle_data(chunk)
-                break
-            start = m.start()
-            if start > pos:
-                chunk = html[pos:start]
-                if "&" in chunk:
-                    chunk = unesc(chunk)
-                handle_data(chunk)
-            pos = m.end()
-            # one C call for all four groups instead of four lookups
-            start_name, attrs_raw, selfclose, end_name = m.group(1, 2, 3, 4)
-            if start_name is not None:
-                tag = start_name.lower()
-                if tag in skip_content:
-                    # fast-forward past the raw content (script/style/...)
-                    if lower is None:
-                        lower = html.lower()
-                    j = lower.find("</" + tag, pos)
-                    if j < 0:
-                        break
-                    k = lower.find(">", j)
-                    pos = n if k < 0 else k + 1
-                    continue
-                attrs = ()
-                if attrs_raw and (
-                    "dir" in attrs_raw
-                    or "data-join" in attrs_raw
-                    or "data-line-order" in attrs_raw
-                ):
-                    attrs = [
-                        (a.lower(), _unquote_attr(v))
-                        for a, v in _ATTR_RE.findall(attrs_raw)
-                    ]
-                if selfclose:
-                    handle_startendtag(tag, attrs)
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    tag_cat = _TAG_CAT
+    unesc = unescape
+    ws_dirty = _WS_DIRTY_RE.search
+    ws_sub = _WS_RE.sub
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            start = pend = n
+        else:
+            # one span() call instead of separate start()/end() lookups
+            start, pend = m.span()
+        if start > pos:
+            # -- text run (the former handle_data, inlined) --------------
+            chunk = html[pos:start]
+            if "&" in chunk:
+                chunk = unesc(chunk)
+            if not chunk or chunk.isspace():
+                # keep a single separator between inline siblings, but
+                # never open an implicit block on pure whitespace
+                if stack:
+                    parts = stack[-1][4]
+                    if parts:
+                        parts.append(_SEP_PART)
+            else:
+                if stack:
+                    top = stack[-1]
                 else:
-                    handle_starttag(tag, attrs)
+                    # bare text outside any block opens an implicit
+                    # paragraph (sparse_text analogue, recognize.py:736-750)
+                    top = [
+                        "noise" if boiler_depth else "paragraph",
+                        dir_stack[-1] if dir_stack else False,
+                        False,
+                        False,
+                        [],
+                        0,
+                    ]
+                    blocks.append(top)
+                    stack.append(top)
+                    open_tags.append("#implicit")
+                # normalize whitespace runs only when one exists (single C
+                # scan beats an unconditional re.sub: most parts are clean)
+                if ws_dirty(chunk) is not None:
+                    chunk = ws_sub(" ", chunk)
+                top[4].append((chunk, link_depth > 0, style_bits))
+        if m is None:
+            break
+        pos = pend
+        # lastindex names the branch without fetching every group: start
+        # tags stop at group 2 (attrs always matches, possibly empty),
+        # end tags at group 3, comment/doctype/bogus at None
+        li = m.lastindex
+        if li == 2:
+            # -- start tag (the former handle_starttag, inlined) ---------
+            tag = m.group(1).lower()
+            cat = tag_cat.get(tag, 0)
+            if cat == _CAT_SKIP:
+                # fast-forward past the raw content (script/style/...)
+                mm = _SKIP_END[tag].search(html, pos)
+                if mm is None:
+                    break
+                k = html.find(">", mm.start())
+                pos = n if k < 0 else k + 1
                 continue
-            if end_name is not None:
-                handle_endtag(end_name.lower())
-            # comments / doctype / bogus markup: dropped
-
-    def close(self) -> None:
-        pass
-
-    # -- helpers ----------------------------------------------------------
-    def _rtl(self) -> bool:
-        return self._dir_stack[-1] if self._dir_stack else False
-
-    def _open_block(self, kind: str, attrs: dict) -> None:
-        boiler = self._boiler_depth > 0
-        if not attrs:
-            # attribute-free fast path (the overwhelmingly common case:
-            # feed passes () unless dir=/data-* appeared in the raw tag)
-            blk = _RawBlock(
-                kind="noise" if boiler else kind,
-                rtl=self._rtl(),
-                boiler=boiler,
-            )
-        else:
-            blk = _RawBlock(
-                kind="noise" if boiler else kind,
-                rtl=self._rtl() or attrs.get("dir", "").lower() == "rtl",
-                # textLineOrder bottom-to-top analogue (common.py:131-134)
-                btt=attrs.get("data-line-order", "").lower()
-                in ("btt", "bottom-to-top"),
-                join="data-join" in attrs,
-                boiler=boiler,
-            )
-            if attrs.get("dir", "").lower() == "ltr":
-                blk.rtl = False
-        self.blocks.append(blk)
-        self._stack.append(blk)
-
-    def _top(self) -> _RawBlock | None:
-        return self._stack[-1] if self._stack else None
-
-    def _implicit(self) -> _RawBlock:
-        """Bare text outside any block opens an implicit paragraph
-        (sparse_text mode analogue, recognize.py:736-750)."""
-        blk = _RawBlock(
-            kind="noise" if self._boiler_depth > 0 else "paragraph",
-            rtl=self._rtl(),
-            boiler=self._boiler_depth > 0,
-        )
-        self.blocks.append(blk)
-        self._stack.append(blk)
-        self._open_tags.append("#implicit")
-        return blk
-
-    def _close_implicit(self) -> None:
-        if self._open_tags and self._open_tags[-1] == "#implicit":
-            self._open_tags.pop()
-            self._stack.pop()
-
-    # -- HTMLParser hooks --------------------------------------------------
-    def handle_starttag(self, tag: str, attrs) -> None:
-        cat = _TAG_CAT.get(tag, 0)
-        if cat == _CAT_SKIP:
-            self._skip_depth += 1
-            return
-        if self._skip_depth:
-            return
-        # attrs is () for the overwhelmingly common attribute-free tag
-        # (feed only parses attrs when dir/data-* appear): reuse one
-        # read-only empty dict instead of building 200k+ throwaways, and
-        # skip the dir check entirely when there are no attrs
-        if attrs:
-            a = dict(attrs)
-            d = a.get("dir", "").lower()
-            if d in ("rtl", "ltr"):
-                self._dir_stack.append(d == "rtl")
-                self._dir_tags.append(tag)
-        else:
-            a = _EMPTY_ATTRS
-        if cat == 0:  # any other tag: counts toward text_density only
-            stack = self._stack
-            if stack:
-                stack[-1].tag_count += 1
-            return
-        if cat == _CAT_BOILER:
-            self._boiler_depth += 1
-            self._close_implicit()
-            return
-        if cat == _CAT_VOID:
-            self._close_implicit()
-            self.blocks.append(
-                _RawBlock(
-                    kind="noise" if self._boiler_depth else _VOID_KIND[tag],
-                    boiler=self._boiler_depth > 0,
+            attrs_raw = m.group(2)
+            selfclose = attrs_raw.endswith("/")
+            if selfclose:
+                attrs_raw = attrs_raw[:-1]
+            # attrs are only parsed when dir/data-* appear in the raw tag
+            # (the overwhelmingly common tag has none)
+            a = None
+            if attrs_raw and (
+                "dir" in attrs_raw
+                or "data-join" in attrs_raw
+                or "data-line-order" in attrs_raw
+            ):
+                a = dict(
+                    (x.lower(), _unquote_attr(v))
+                    for x, v in _ATTR_RE.findall(attrs_raw)
                 )
+                d = a.get("dir", "").lower()
+                if d in ("rtl", "ltr"):
+                    dir_stack.append(d == "rtl")
+                    dir_tags.append(tag)
+            if cat == 0:  # any other tag: counts toward text_density only
+                if stack:
+                    stack[-1][5] += 1
+                continue
+            if cat == _CAT_BLOCK:
+                if open_tags and open_tags[-1] == "#implicit":
+                    open_tags.pop()
+                    stack.pop()
+                boiler = boiler_depth > 0
+                if a is None:
+                    blk = [
+                        "noise" if boiler else _BLOCK_KIND[tag],
+                        dir_stack[-1] if dir_stack else False,
+                        False,
+                        False,
+                        [],
+                        0,
+                    ]
+                else:
+                    d = a.get("dir", "").lower()
+                    blk = [
+                        "noise" if boiler else _BLOCK_KIND[tag],
+                        False
+                        if d == "ltr"
+                        else (
+                            (dir_stack[-1] if dir_stack else False)
+                            or d == "rtl"
+                        ),
+                        # textLineOrder bottom-to-top analogue
+                        # (common.py:131-134)
+                        a.get("data-line-order", "").lower()
+                        in ("btt", "bottom-to-top"),
+                        "data-join" in a,
+                        [],
+                        0,
+                    ]
+                blocks.append(blk)
+                stack.append(blk)
+                open_tags.append(tag)
+                if selfclose:
+                    # <p/>: open + immediate close
+                    if open_tags and open_tags[-1] == "#implicit":
+                        open_tags.pop()
+                        stack.pop()
+                    if dir_tags and dir_tags[-1] == tag:
+                        dir_tags.pop()
+                        dir_stack.pop()
+                    if open_tags and open_tags[-1] == tag:
+                        open_tags.pop()
+                        stack.pop()
+                continue
+            if cat == _CAT_STYLE:
+                style_depth[tag] += 1
+                style_bits |= _STYLE_BITS[tag]
+                if stack:
+                    stack[-1][5] += 1
+                if selfclose:
+                    if dir_tags and dir_tags[-1] == tag:
+                        dir_tags.pop()
+                        dir_stack.pop()
+                    if style_depth[tag] > 0:
+                        style_depth[tag] -= 1
+                        if style_depth[tag] == 0:
+                            style_bits &= ~_STYLE_BITS[tag]
+                continue
+            if cat == _CAT_A:
+                link_depth += 1
+                if stack:
+                    stack[-1][5] += 1
+                continue
+            if cat == _CAT_BR:
+                if stack:
+                    stack[-1][4].append(_BR_PART)
+                continue
+            if cat == _CAT_BOILER:
+                boiler_depth += 1
+                if open_tags and open_tags[-1] == "#implicit":
+                    open_tags.pop()
+                    stack.pop()
+                continue
+            # _CAT_VOID
+            if open_tags and open_tags[-1] == "#implicit":
+                open_tags.pop()
+                stack.pop()
+            blocks.append(
+                [
+                    "noise" if boiler_depth else _VOID_KIND[tag],
+                    False,
+                    False,
+                    False,
+                    [],
+                    0,
+                ]
             )
-            return
-        if cat == _CAT_BR:
-            stack = self._stack
-            if stack:
-                stack[-1].parts.append(("\n", False, 0))
-            return
-        if cat == _CAT_A:
-            self._link_depth += 1
-            stack = self._stack
-            if stack:
-                stack[-1].tag_count += 1
-            return
-        if cat == _CAT_STYLE:
-            self._style_depth[tag] += 1
-            self._style_bits |= _STYLE_BITS[tag]
-            stack = self._stack
-            if stack:
-                stack[-1].tag_count += 1
-            return
-        # _CAT_BLOCK
-        self._close_implicit()
-        self._open_block(_BLOCK_KIND[tag], a)
-        self._open_tags.append(tag)
-
-    def handle_startendtag(self, tag: str, attrs) -> None:
-        self.handle_starttag(tag, attrs)
-        cat = _TAG_CAT.get(tag, 0)
-        if cat == _CAT_BLOCK or cat == _CAT_STYLE:
-            self.handle_endtag(tag)
-
-    def handle_endtag(self, tag: str) -> None:
-        cat = _TAG_CAT.get(tag, 0)
-        if cat == _CAT_SKIP:
-            self._skip_depth = max(0, self._skip_depth - 1)
-            return
-        if self._skip_depth:
-            return
-        # dir-stack pop must precede the boilerplate/<a> early returns:
-        # a dir attribute on <nav>/<header>/<footer>/<aside>/<a> is pushed
-        # on open and would otherwise leak RTL reversal past its close
-        if self._dir_tags and self._dir_tags[-1] == tag:
-            self._dir_tags.pop()
-            self._dir_stack.pop()
-        if cat == _CAT_BOILER:
-            self._boiler_depth = max(0, self._boiler_depth - 1)
-            return
-        if cat == _CAT_A:
-            self._link_depth = max(0, self._link_depth - 1)
-            return
-        if cat == _CAT_STYLE:
-            d = self._style_depth
-            if d[tag] > 0:
-                d[tag] -= 1
-                if d[tag] == 0:
-                    self._style_bits &= ~_STYLE_BITS[tag]
-            return
-        if cat == _CAT_BLOCK:
-            # close innermost matching open block (lenient like the parser)
-            self._close_implicit()
-            if self._open_tags and self._open_tags[-1] == tag:
-                self._open_tags.pop()
-                self._stack.pop()
-            return
-
-    def handle_data(self, data: str) -> None:
-        if self._skip_depth:
-            return
-        stack = self._stack
-        top = stack[-1] if stack else None
-        # isspace() == (strip() falsy) for non-empty strings, without
-        # allocating the stripped copy of every TEXT run just to test it
-        if not data or data.isspace():
-            # keep a single separator between inline siblings, but never
-            # open an implicit block on pure whitespace
-            if top is not None and top.parts:
-                top.parts.append((" ", False, 0))
-            return
-        if top is None:
-            top = self._implicit()
-        # normalize whitespace runs only when one exists (single C scan
-        # beats an unconditional re.sub: most parts are already clean)
-        if _WS_DIRTY_RE.search(data) is not None:
-            data = _WS_RE.sub(" ", data)
-        top.parts.append((data, self._link_depth > 0, self._style_bits))
+        elif li == 3:
+            # -- end tag (the former handle_endtag, inlined) -------------
+            tag = m.group(3).lower()
+            cat = tag_cat.get(tag, 0)
+            if cat == _CAT_SKIP:
+                continue  # no skip frame can be open: starts fast-forward
+            # dir-stack pop must precede the boilerplate/<a> branches: a
+            # dir attribute on <nav>/<header>/<footer>/<aside>/<a> is
+            # pushed on open and would otherwise leak RTL past its close
+            if dir_tags and dir_tags[-1] == tag:
+                dir_tags.pop()
+                dir_stack.pop()
+            if cat == _CAT_BLOCK:
+                # close innermost matching open block (lenient parser)
+                if open_tags and open_tags[-1] == "#implicit":
+                    open_tags.pop()
+                    stack.pop()
+                if open_tags and open_tags[-1] == tag:
+                    open_tags.pop()
+                    stack.pop()
+            elif cat == _CAT_STYLE:
+                if style_depth[tag] > 0:
+                    style_depth[tag] -= 1
+                    if style_depth[tag] == 0:
+                        style_bits &= ~_STYLE_BITS[tag]
+            elif cat == _CAT_A:
+                if link_depth:
+                    link_depth -= 1
+            elif cat == _CAT_BOILER:
+                if boiler_depth:
+                    boiler_depth -= 1
+        # comments / doctype / bogus markup: dropped
+    return blocks
 
 
 # --------------------------------------------------------------------------
@@ -755,7 +718,7 @@ class _BlockParser:
 # --------------------------------------------------------------------------
 
 
-def _assemble_block(raw: _RawBlock) -> dict:
+def _assemble_block(raw: list) -> tuple:
     """One raw block -> lines/words with local canonical text.
 
     Lines split on <br>-induced '\\n' (textLineOrder analogue,
@@ -763,19 +726,11 @@ def _assemble_block(raw: _RawBlock) -> dict:
     (recognize.py:782-814); RTL blocks reverse word order per line
     (common.py:138-151).
     """
-    parts = raw.parts
+    kind, rtl, btt, join, parts, tag_count = raw
     if not parts:
         # 14% of blocks (void/empty elements): the general path below
         # reduces to exactly this constant shape
-        return {
-            "kind": raw.kind,
-            "rtl": raw.rtl,
-            "join": raw.join,
-            "line_words": [],
-            "n_chars": 0,
-            "link_density": 0.0,
-            "text_density": 0.0,
-        }
+        return (kind, rtl, join, [], 0, 0.0, 0.0)
     if len(parts) == 1:
         # 79% of blocks carry a single coalesced text part: skip the
         # join and the accumulation loop (same arithmetic, one pass)
@@ -809,23 +764,29 @@ def _assemble_block(raw: _RawBlock) -> dict:
     styled_ivs: list[tuple[int, int, int]] = []
     if any_style:
         pos = 0
-        for part, _, sbits in raw.parts:
+        for part, _, sbits in parts:
             if sbits:
                 styled_ivs.append((pos, pos + len(part), sbits))
             pos += len(part)
+    # each line is (words, style_bits_or_None): words stay plain strings —
+    # the downstream joins/conf sums run straight over them — and the
+    # parallel bits list only exists when a style tag occurred (round 6:
+    # dropping the per-word (w, sbits) tuples removed ~40 tuple builds +
+    # unpacks per document from the hot path)
     lines = []
     if not styled_ivs:
         for seg in text.split("\n"):
-            words = [(w, 0) for w in seg.split()]
+            words = seg.split()
             if not words:
                 continue
-            if raw.rtl:
+            if rtl:
                 words.reverse()
-            lines.append(words)
+            lines.append((words, None))
     else:
         offset = 0
         for seg in text.split("\n"):
             words = []
+            bits = []
             for m in _WORD_RE.finditer(seg):
                 s = offset + m.start()
                 e = offset + m.end()
@@ -833,34 +794,36 @@ def _assemble_block(raw: _RawBlock) -> dict:
                 for ivs, ive, ivb in styled_ivs:
                     if ivs < e and s < ive:
                         sbits |= ivb
-                words.append((m.group(0), sbits))
+                words.append(m.group(0))
+                bits.append(sbits)
             offset += len(seg) + 1
             if not words:
                 continue
-            if raw.rtl:
+            if rtl:
                 words.reverse()
-            lines.append(words)
-    if raw.btt:
+                bits.reverse()
+            lines.append((words, bits))
+    if btt:
         # bottom-to-top textLineOrder reverses line traversal
         # (common.py:131-134)
         lines.reverse()
     link_density = (link_chars / total_chars) if total_chars else 0.0
-    text_density = total_chars / (1.0 + raw.tag_count)
-    return {
-        "kind": raw.kind,
-        "rtl": raw.rtl,
-        "join": raw.join,
-        "line_words": lines,
-        "n_chars": total_chars,
-        "link_density": round(link_density, 6),
-        "text_density": round(text_density, 6),
-    }
+    text_density = total_chars / (1.0 + tag_count)
+    return (
+        kind,
+        rtl,
+        join,
+        lines,
+        total_chars,
+        round(link_density, 6),
+        round(text_density, 6),
+    )
 
 
 def _block_canonical_text(line_words: list) -> str:
     # str.join over a LIST beats a generator here (join pre-sizes;
     # measured 1.4x on the bench corpus's block-shape distribution)
-    return "\n".join([" ".join([w for w, _ in ws]) for ws in line_words])
+    return "\n".join([" ".join(ws) for ws, _ in line_words])
 
 
 def classify_is_main(kind: str, n_chars: int, link_density: float,
@@ -894,10 +857,7 @@ def extract_document(html: bytes | str | None,
             raise ValueError("null payload")
         if isinstance(html, (bytes, bytearray, memoryview)):
             html = bytes(html).decode("utf-8", errors="strict")
-        parser = _BlockParser()
-        parser.feed(html)
-        parser.close()
-        raws = parser.blocks
+        raws = _parse_blocks(html)
     except Exception:
         return {
             "text": None,
@@ -912,7 +872,7 @@ def extract_document(html: bytes | str | None,
         a = _assemble_block(raw)
         # binary-empty filter: drop blocks with no tokens unless they are
         # structural markers (recognize.py:598-601)
-        if not a["line_words"] and a["kind"] not in ("separator", "image"):
+        if not a[3] and a[0] not in ("separator", "image"):
             continue
         assembled.append(a)
 
@@ -922,23 +882,36 @@ def extract_document(html: bytes | str | None,
     prev_main = False
     main_confs: list[float] = []
 
+    # loop invariants hoisted out of the per-block walk (round 6): rule
+    # presence, the default (eff, model) triple, and the auto_model
+    # precondition are properties of params, not of any block
+    has_rules = bool(params.block_rules or params.model_rules)
+    default_model = params.model
+    may_auto = params.auto_model and "+" in default_model
+    main_kinds = params.main_kinds
+    max_ld = params.max_link_density
+    min_pc = params.min_paragraph_chars
+
     for idx, a in enumerate(assembled):
+        # positional unpack of the _assemble_block tuple: the loop body
+        # reads these fields 10+ times per block
+        a_kind, a_rtl, a_join, a_line_words, a_n_chars, a_link_density, a_text_density = a
         block_id = "block%04d" % idx
         # per-segment dynamic config (xpath_parameters/xpath_model
         # analogue): rules see the block's classification inputs (the
         # attrs dict is only built when a rule could read it)
-        if params.block_rules or params.model_rules:
+        if has_rules:
             attrs = {
-                "kind": a["kind"],
-                "n_chars": a["n_chars"],
-                "link_density": a["link_density"],
-                "text_density": a["text_density"],
-                "rtl": a["rtl"],
-                "join": a["join"],
+                "kind": a_kind,
+                "n_chars": a_n_chars,
+                "link_density": a_link_density,
+                "text_density": a_text_density,
+                "rtl": a_rtl,
+                "join": a_join,
             }
             eff, model, model_from_rule = _block_effective(params, attrs)
         else:
-            eff, model, model_from_rule = params, params.model, False
+            eff, model, model_from_rule = params, default_model, False
         # in-kernel auto_model (recognize.py:266-277): '+'-joined candidates
         # are each scored on THIS block; the argmax (first on ties, like
         # np.argmax) becomes the block's model and its confusion table
@@ -947,51 +920,60 @@ def extract_document(html: bytes | str | None,
         # match (recognize.py:258-262), using the joined tag verbatim —
         # auto_model only ever scores the preset model.
         block_glyph_table = glyph_table
-        if eff.auto_model and not model_from_rule and "+" in model:
+        if (may_auto or has_rules) and eff.auto_model and not model_from_rule and "+" in model:
             cands = model.split("+")
             scores = [
-                model_block_score(a["line_words"], _model_table(params, m))
+                model_block_score(a_line_words, _model_table(params, m))
                 for m in cands
             ]
             best = max(range(len(cands)), key=lambda i: (scores[i], -i))
             model = cands[best]
             block_glyph_table = _model_table(params, model)
-        is_main = classify_is_main(
-            a["kind"], a["n_chars"], a["link_density"], eff
-        )
+        if has_rules:
+            is_main = classify_is_main(a_kind, a_n_chars, a_link_density, eff)
+        else:
+            # inlined classify_is_main over the hoisted default gates
+            # (identical logic; the call itself was ~1.5% of the document
+            # walk on the bench corpus)
+            is_main = (
+                a_kind in main_kinds
+                and a_link_density <= max_ld
+                and not (a_kind == "paragraph" and a_n_chars < min_pc)
+                and a_n_chars > 0
+            )
         if eff.segment_only:
             is_main_out = is_main
             blocks.append(
                 {
                     "block_id": block_id,
-                    "kind": a["kind"],
+                    "kind": a_kind,
                     "order_idx": idx,
                     "char_start": -1,
                     "char_end": -1,
                     "text": "",
                     "conf": 0.0,
-                    "text_density": a["text_density"],
-                    "link_density": a["link_density"],
+                    "text_density": a_text_density,
+                    "link_density": a_link_density,
                     "is_main": is_main_out,
                     "model": model,
                     "lines": [],
                 }
             )
             continue
-        btext = _block_canonical_text(a["line_words"])
+        btext = _block_canonical_text(a_line_words)
         if not is_main:
             # lazy recognition: segment-only for non-main blocks
             blocks.append(
                 {
                     "block_id": block_id,
-                    "kind": a["kind"],
+                    "kind": a_kind,
                     "order_idx": idx,
                     "char_start": -1,
                     "char_end": -1,
                     "text": btext,
                     "conf": 0.0,
-                    "text_density": a["text_density"],
-                    "link_density": a["link_density"],
+                    "text_density": a_text_density,
+                    "link_density": a_link_density,
                     "is_main": False,
                     "model": model,
                     "lines": [],
@@ -1001,7 +983,7 @@ def extract_document(html: bytes | str | None,
 
         # separator between main blocks: '\n' unless join relation
         # (common.py:166-175)
-        if prev_main and not a["join"]:
+        if prev_main and not a_join:
             doc_parts.append("\n")
             pos += 1
         b_start = pos
@@ -1032,26 +1014,28 @@ def extract_document(html: bytes | str | None,
             # cost after r4's lazy emission.
             doc_parts.append(btext)
             pos += len(btext)
-            lw = a["line_words"]
+            lw = a_line_words
             bconf = 0.0
             if lw:
                 wc = word_conf
-                bconf = sum(
-                    sum(map(wc, map(_word_of, words))) / len(words)
-                    for words in lw
-                ) / len(lw)
+                # explicit loop: identical left-to-right float summation,
+                # no generator frame per line (round 6)
+                acc = 0.0
+                for words, _ in lw:
+                    acc += sum(map(wc, words)) / len(words)
+                bconf = acc / len(lw)
             main_confs.append(bconf)
             blocks.append(
                 {
                     "block_id": block_id,
-                    "kind": a["kind"],
+                    "kind": a_kind,
                     "order_idx": idx,
                     "char_start": b_start,
                     "char_end": pos,
                     "text": btext,
                     "conf": bconf,
-                    "text_density": a["text_density"],
-                    "link_density": a["link_density"],
+                    "text_density": a_text_density,
+                    "link_density": a_link_density,
                     "is_main": True,
                     "model": model,
                     "lines": [],
@@ -1059,7 +1043,7 @@ def extract_document(html: bytes | str | None,
             )
             prev_main = True
             continue
-        for li, words in enumerate(a["line_words"]):
+        for li, (words, wbits) in enumerate(a_line_words):
             if li > 0:
                 doc_parts.append("\n")
                 pos += 1
@@ -1067,7 +1051,8 @@ def extract_document(html: bytes | str | None,
             words_out = []
             wconfs = []
             line_prefix = "%s_line%04d" % (block_id, li) if emit_lines else ""
-            for wi, (w, sbits) in enumerate(words):
+            for wi, w in enumerate(words):
+                sbits = wbits[wi] if wbits else 0
                 if wi > 0:
                     doc_parts.append(" ")
                     pos += 1
@@ -1117,7 +1102,7 @@ def extract_document(html: bytes | str | None,
                         "line_id": line_prefix,
                         "char_start": l_start,
                         "char_end": pos,
-                        "text": " ".join(w for w, _ in words),
+                        "text": " ".join(words),
                         "conf": lconf,
                         "words": words_out,
                     }
@@ -1127,14 +1112,14 @@ def extract_document(html: bytes | str | None,
         blocks.append(
             {
                 "block_id": block_id,
-                "kind": a["kind"],
+                "kind": a_kind,
                 "order_idx": idx,
                 "char_start": b_start,
                 "char_end": pos,
                 "text": btext,
                 "conf": bconf,
-                "text_density": a["text_density"],
-                "link_density": a["link_density"],
+                "text_density": a_text_density,
+                "link_density": a_link_density,
                 "is_main": True,
                 "model": model,
                 "lines": lines_out,
