@@ -222,7 +222,10 @@ def lsh_candidate_pairs(docs: DataFrame, hs_df: DataFrame | None = None) -> Data
     banded = sigged.select("doc_id", F.explode(_band_keys_col()).alias("band_key"))
     buckets = (
         banded.groupBy("band_key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        # sort_array, not array_sort: array_sort lowers to an interpreted
+        # comparison lambda per element pair, sort_array is codegen'd
+        # natural ordering — identical for null-free elements (round 6)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= HOT_BAND_CAP))
     )
     return (
@@ -336,7 +339,8 @@ def q_ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         exploded.groupBy("h")
         .agg(
-            F.array_sort(
+            # sort_array: codegen'd natural struct ordering (see q_lsh_pairs)
+            F.sort_array(
                 F.collect_list(F.struct(F.col("doc_id").alias("d"), F.col("lang").alias("g")))
             ).alias("ms")
         )
@@ -711,15 +715,15 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        # sort_array + getField: the array_sort comparison lambda and the
+        # transform projection lambda are both interpreted; these codegen'd
+        # twins are value-identical on the null-free kept list (round 6)
         F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("kept"), F.struct("pos", "seg"))
-                    )
-                ),
-                lambda x: x["seg"],
-            ),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("kept"), F.struct("pos", "seg"))
+                )
+            ).getField("seg"),
             " ",
         ).alias("dedup_text"),
     )
@@ -807,7 +811,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpd = staged.select(
         "doc_id",
         "n_shingles",
-        F.array_sort(F.array_distinct("sel")).alias("fps"),
+        F.sort_array(F.array_distinct("sel")).alias("fps"),
     )
     # '-'-joined string sketch (the minhash_sig precedent above): a raw
     # array<bigint> column cannot be sorted by the parity driver's pandas

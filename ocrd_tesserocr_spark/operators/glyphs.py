@@ -35,7 +35,15 @@ def _alts_col():
 def q_glyph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = F.element_at(F.split(F.col("text"), " "), 1)
-    d = docs.select("doc_id", w.alias("w")).where(F.length("w") >= 1)
+    # project to (doc_id, first word) BEFORE the re-split exchange: the
+    # sandbox documents parquet is a single row group (1-2 scan tasks), so
+    # the rlike/explode stack below otherwise runs near-single-threaded
+    # (text._pdocs rationale, round 6); the shuffle carries ~20 B/row
+    d = (
+        docs.select("doc_id", w.alias("w"))
+        .where(F.length("w") >= 1)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     chars = d.select(
         "doc_id",
         "w",

