@@ -346,6 +346,11 @@ def q_ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.size("ms") <= SHINGLE_DF_CAP)
     )
+    # NOT checkpointed although two branches consume it (round 6, measured):
+    # the static plan shows two scan subtrees, but AQE's runtime exchange
+    # reuse collapses them, while an eager localCheckpoint of the posting
+    # table paid ~10x the whole query in row-wise RDD materialization of
+    # the struct arrays.
     # per-doc size over the capped shingle universe
     sizes = (
         buckets.select(F.explode("ms").alias("m"))

@@ -139,3 +139,54 @@ def test_ann_ivf_broadcasts_probe_side(spark):
 
     plan = _plan(q_ann_ivf(spark, SF_ORACLE))
     assert "Broadcast" in plan
+
+
+def test_agg_concat_uses_codegen_sort(spark):
+    """Round 6: the ordered concat sorts with sort_array (codegen'd natural
+    struct ordering) — array_sort would reintroduce an interpreted
+    comparison lambda per element pair, and the transform projection
+    lambda must stay replaced by getField."""
+    from ocrd_tesserocr_spark.operators.relational import (
+        q_agg_concat_reading_order,
+    )
+
+    df = q_agg_concat_reading_order(spark, SF_ORACLE)
+    # executedPlan().toString() truncates long aggregate expression lists,
+    # so read the full formatted explain for the positive assertion
+    full = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "sort_array" in full
+    assert "lambdafunction" not in full
+
+
+def test_similarity_fold_casts_whole_array(spark):
+    """Round 6: the dot/norm folds cast the embedding array to
+    array<double> ONCE before the fold instead of per element inside the
+    lambda (the per-element cast was half the fold's cost)."""
+    from ocrd_tesserocr_spark.operators.similarity import q_cosine_topk
+
+    plan = _plan(q_cosine_topk(spark, SF_ORACLE))
+    assert "array<double>" in plan
+    # no per-element cast inside any fold lambda
+    assert "cast(lambda" not in plan
+
+
+def test_glyph_topk_resplit_carries_projection(spark):
+    """Round 6: glyph_topk re-splits the single-row-group scan for the
+    rlike/explode stack, and the exchange carries only the projected
+    (doc_id, first word) — never the full text column."""
+    from ocrd_tesserocr_spark.operators.glyphs import q_glyph_topk
+
+    plan = _plan(q_glyph_topk(spark, SF_ORACLE))
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_lm_score_trigrams_not_lambda_built(spark):
+    """Round 6: lm_score explodes the position sequence and slices with a
+    codegen'd substr — the trigram substring must not live inside an
+    interpreted higher-order lambda."""
+    from ocrd_tesserocr_spark.operators.text import q_lm_score
+
+    plan = _plan(q_lm_score(spark, SF_ORACLE))
+    assert "lambdafunction(substring" not in plan

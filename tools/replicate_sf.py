@@ -3,10 +3,9 @@ existing sf dir (doc_id offsets keep ids unique — the same scheme
 bench.prepare_pages uses for the pages corpus).
 
 This is a LOCAL measurement aid only: the driver generates its own large
-scale factors.  Replication makes the corpus dup-heavier than a真 generated
-corpus than a freshly generated one (every doc has R exact copies), which
-is conservative for the dedup-family queries (their candidate structures
-only get denser).
+scale factors.  Replication makes the corpus dup-heavier than a freshly
+generated one (every doc has R exact copies), which is conservative for
+the dedup-family queries (their candidate structures only get denser).
 
 Usage: python tools/replicate_sf.py <src_sf_dir> <dst_dir> <replication>
 """
