@@ -554,7 +554,8 @@ def _parse_blocks(html: str) -> list:
         li = m.lastindex
         if li == 2:
             # -- start tag (the former handle_starttag, inlined) ---------
-            tag = m.group(1).lower()
+            tag_raw, attrs_raw = m.group(1, 2)
+            tag = tag_raw.lower()
             cat = tag_cat.get(tag, 0)
             if cat == _CAT_SKIP:
                 # fast-forward past the raw content (script/style/...)
@@ -564,7 +565,6 @@ def _parse_blocks(html: str) -> list:
                 k = html.find(">", mm.start())
                 pos = n if k < 0 else k + 1
                 continue
-            attrs_raw = m.group(2)
             selfclose = attrs_raw.endswith("/")
             if selfclose:
                 attrs_raw = attrs_raw[:-1]
@@ -735,11 +735,13 @@ def _assemble_block(raw: list) -> tuple:
         # 79% of blocks carry a single coalesced text part: skip the
         # join and the accumulation loop (same arithmetic, one pass)
         text, in_link, sbits = parts[0]
-        total_chars = len(text) - text.count(" ") - text.count("\n")
+        nl = text.count("\n")
+        total_chars = len(text) - text.count(" ") - nl
         link_chars = total_chars if in_link else 0
         any_style = bool(sbits)
     else:
         text = "".join(p for p, _, _ in parts)
+        nl = text.count("\n")
         total_chars = 0
         link_chars = 0
         any_style = False
@@ -775,13 +777,22 @@ def _assemble_block(raw: list) -> tuple:
     # unpacks per document from the hot path)
     lines = []
     if not styled_ivs:
-        for seg in text.split("\n"):
-            words = seg.split()
-            if not words:
-                continue
-            if rtl:
-                words.reverse()
-            lines.append((words, None))
+        if nl == 0:
+            # single-line fast path (reuses the count computed above):
+            # no "\n" means exactly one candidate segment
+            words = text.split()
+            if words:
+                if rtl:
+                    words.reverse()
+                lines.append((words, None))
+        else:
+            for seg in text.split("\n"):
+                words = seg.split()
+                if not words:
+                    continue
+                if rtl:
+                    words.reverse()
+                lines.append((words, None))
     else:
         offset = 0
         for seg in text.split("\n"):
@@ -807,7 +818,10 @@ def _assemble_block(raw: list) -> tuple:
         # bottom-to-top textLineOrder reverses line traversal
         # (common.py:131-134)
         lines.reverse()
-    link_density = (link_chars / total_chars) if total_chars else 0.0
+    # link-free blocks (the common case) skip the round() call outright
+    link_density = (
+        round(link_chars / total_chars, 6) if link_chars else 0.0
+    )
     text_density = total_chars / (1.0 + tag_count)
     return (
         kind,
@@ -815,14 +829,17 @@ def _assemble_block(raw: list) -> tuple:
         join,
         lines,
         total_chars,
-        round(link_density, 6),
+        link_density,
         round(text_density, 6),
     )
 
 
 def _block_canonical_text(line_words: list) -> str:
     # str.join over a LIST beats a generator here (join pre-sizes;
-    # measured 1.4x on the bench corpus's block-shape distribution)
+    # measured 1.4x on the bench corpus's block-shape distribution);
+    # single-line blocks (the majority) skip the outer join entirely
+    if len(line_words) == 1:
+        return " ".join(line_words[0][0])
     return "\n".join([" ".join(ws) for ws, _ in line_words])
 
 
@@ -837,6 +854,11 @@ def classify_is_main(kind: str, n_chars: int, link_density: float,
     if kind == "paragraph" and n_chars < params.min_paragraph_chars:
         return False
     return n_chars > 0
+
+
+#: preformatted block ids ("block%04d"): ~40 formats per document replaced
+#: by list indexing; documents with >1024 blocks fall back to the format
+_BLOCK_IDS = ["block%04d" % i for i in range(1024)]
 
 
 def extract_document(html: bytes | str | None,
@@ -896,7 +918,7 @@ def extract_document(html: bytes | str | None,
         # positional unpack of the _assemble_block tuple: the loop body
         # reads these fields 10+ times per block
         a_kind, a_rtl, a_join, a_line_words, a_n_chars, a_link_density, a_text_density = a
-        block_id = "block%04d" % idx
+        block_id = _BLOCK_IDS[idx] if idx < 1024 else "block%04d" % idx
         # per-segment dynamic config (xpath_parameters/xpath_model
         # analogue): rules see the block's classification inputs (the
         # attrs dict is only built when a rule could read it)
